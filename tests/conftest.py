@@ -7,7 +7,9 @@ multi-chip path). Environment must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS to the TPU platform,
+# but unit tests run on the virtual 8-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,11 +17,19 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Host-side analysis parity lanes need float64 (the reference pipeline is
 # float64 end to end; SURVEY.md §7 "Hard parts").
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+os.environ["JAX_ENABLE_X64"] = "1"
 
 import pathlib
 
 import pytest
+
+# jax may already be imported by the time this conftest runs (site hooks pull
+# it in with pytest), so env vars alone are not enough — set the config
+# directly before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
