@@ -1,0 +1,110 @@
+"""EfficientDet-Lite detector assembly and the model-spec registry.
+
+Mirrors the capability surface of ``tflite_model_maker``'s
+``model_spec.get('efficientdet_liteX')`` (reference train.py:23,29) with
+first-party flax modules. The forward pass emits flattened box deltas and
+class logits aligned with :mod:`vbt_tpu.models.anchors`; decoding/NMS lives
+in :mod:`vbt_tpu.ops` so the postprocess can run fused on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vbt_tpu.models.anchors import ANCHORS_PER_CELL, AnchorConfig
+from vbt_tpu.models.bifpn import BiFPN
+from vbt_tpu.models.efficientnet_lite import EfficientNetLite
+from vbt_tpu.models.heads import PredictionHead
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    backbone: str
+    input_size: int
+    fpn_channels: int
+    fpn_repeats: int
+    head_repeats: int
+    anchor_scale: float = 3.0
+    num_classes: int = 1  # the reference detects one class: 'barbell'
+
+    @property
+    def anchor_config(self) -> AnchorConfig:
+        return AnchorConfig(input_size=self.input_size, anchor_scale=self.anchor_scale)
+
+
+MODEL_SPECS = {
+    "efficientdet_lite0": ModelSpec("efficientdet_lite0", "lite0", 320, 64, 3, 3),
+    "efficientdet_lite1": ModelSpec("efficientdet_lite1", "lite1", 384, 88, 4, 3),
+    "efficientdet_lite2": ModelSpec("efficientdet_lite2", "lite2", 448, 112, 5, 3),
+}
+# The reference's "whole" variants share the architecture with their base
+# (only the fine-tuning regime differed: train_whole_model=True,
+# train.py:54); register aliases so model names round-trip through the CLIs.
+for _base in list(MODEL_SPECS.values()):
+    MODEL_SPECS[f"{_base.name}_whole"] = _base
+
+
+def get_model_spec(name: str) -> ModelSpec:
+    key = name if name in MODEL_SPECS else f"efficientdet_{name}"
+    if key not in MODEL_SPECS:
+        raise KeyError(f"unknown model spec '{name}'; have {sorted(MODEL_SPECS)}")
+    return MODEL_SPECS[key]
+
+
+class EfficientDet(nn.Module):
+    """Backbone + BiFPN + heads; returns flattened (deltas, logits).
+
+    Output shapes: boxes (B, N, 4) as (ty, tx, th, tw) deltas and logits
+    (B, N, num_classes), where N enumerates anchors level-major, row-major,
+    per-cell anchor fastest — exactly the order produced by
+    :func:`vbt_tpu.models.anchors.generate_anchors`.
+    """
+
+    spec: ModelSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        feats = EfficientNetLite(self.spec.backbone, dtype=self.dtype, name="backbone")(
+            images, train
+        )
+        feats = BiFPN(
+            self.spec.fpn_channels,
+            self.spec.fpn_repeats,
+            weight_method="sum",
+            dtype=self.dtype,
+            name="fpn",
+        )(feats, train)
+
+        box_maps = PredictionHead(
+            out_per_anchor=4,
+            num_anchors=ANCHORS_PER_CELL,
+            channels=self.spec.fpn_channels,
+            repeats=self.spec.head_repeats,
+            dtype=self.dtype,
+            name="box_net",
+        )(feats, train)
+        cls_maps = PredictionHead(
+            out_per_anchor=self.spec.num_classes,
+            num_anchors=ANCHORS_PER_CELL,
+            channels=self.spec.fpn_channels,
+            repeats=self.spec.head_repeats,
+            dtype=self.dtype,
+            final_bias_prior=0.01,
+            name="class_net",
+        )(feats, train)
+
+        def flatten(maps: dict[int, jnp.ndarray], per_anchor: int) -> jnp.ndarray:
+            parts = []
+            for lv in sorted(maps):
+                m = maps[lv]
+                b, h, w, _ = m.shape
+                parts.append(m.reshape(b, h * w * ANCHORS_PER_CELL, per_anchor))
+            return jnp.concatenate(parts, axis=1)
+
+        return flatten(box_maps, 4), flatten(cls_maps, self.spec.num_classes)
