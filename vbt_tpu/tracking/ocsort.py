@@ -154,6 +154,10 @@ class OCSort:
         self.inertia = inertia
         self.trackers: list[KalmanBoxTracker] = []
         self.frame_count = 0
+        # Fresh id space per tracker instance: the golden dfs_ocsort/ files
+        # all carry id1 while the SORT-generation dfs/ ids climb across
+        # videos (class-global counter) — so OC-SORT resets, SORT does not.
+        KalmanBoxTracker.count = 0
 
     def _associate(self, dets, trks, velocities, k_observations):
         if dets.shape[0] == 0 or trks.shape[0] == 0:
