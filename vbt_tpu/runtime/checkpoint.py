@@ -1,0 +1,28 @@
+"""Model parameter checkpointing.
+
+The reference's only model artifact is an exported .tflite binary
+(train.py:67); here model variables (params + batch stats) serialize through
+flax's msgpack format, with an orbax-based directory layout for training
+checkpoints (SURVEY.md §5 "Checkpoint / resume").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import flax.serialization
+
+
+def save_params(path: str, variables: Any) -> None:
+    """Serialize a flax variable collection to a single msgpack file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+
+
+def load_params(path: str, template: Any) -> Any:
+    """Load variables saved by :func:`save_params` into ``template``'s
+    structure (shapes/dtypes validated by flax)."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())

@@ -1,0 +1,139 @@
+"""The compiled detection pipeline: frames -> detections on device.
+
+Replaces the reference's per-frame TFLite-interpreter round trip
+(odt.py:80-99 ``run_odt``: host resize -> C++ interpreter invoke -> numpy
+postprocess) with one jitted XLA program per frame *batch*: fused
+resize/normalize preprocessing, the flax EfficientDet forward pass, and the
+Pallas anchor-decode + NMS kernel. Frames cross the host boundary once per
+batch as raw uint8.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vbt_tpu.models import EfficientDet, ModelSpec, get_model_spec
+from vbt_tpu.models.anchors import generate_anchors
+from vbt_tpu.ops.nms_pallas import detection_postprocess_pallas
+from vbt_tpu.ops.postprocess import Detections, detection_postprocess
+from vbt_tpu.ops.preprocess import preprocess_frames
+from vbt_tpu.runtime.checkpoint import load_params
+
+MAX_DETECTIONS = 25  # the TFLite postprocess contract (SURVEY.md §2.3)
+
+
+def resolve_model(model: str) -> tuple[ModelSpec, str | None]:
+    """Map a --model argument to (spec, checkpoint_path_or_None).
+
+    Accepts either a bare spec name ('efficientdet_lite0_whole'), a path to
+    a saved checkpoint ('models/efficientdet_lite0_whole.msgpack'), or — for
+    drop-in compatibility with reference invocations — a .tflite path whose
+    basename selects the spec and whose sibling .msgpack (if present) holds
+    the weights.
+    """
+    base = os.path.basename(model).split(".")[0]
+    spec = get_model_spec(base)
+    if os.path.isfile(model) and not model.endswith(".tflite"):
+        return spec, model
+    sibling = os.path.splitext(model)[0] + ".msgpack"
+    if os.path.isfile(sibling):
+        return spec, sibling
+    return spec, None
+
+
+@dataclass
+class DetectionPipeline:
+    """Holds a model spec + variables and exposes jitted batch detection."""
+
+    spec: ModelSpec
+    variables: Any
+    use_pallas: bool = True
+    dtype: Any = jnp.float32
+    anchors: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.anchors = generate_anchors(self.spec.anchor_config)
+        self._model = EfficientDet(self.spec, dtype=self.dtype)
+        self._detect = jax.jit(
+            functools.partial(self._detect_impl),
+            static_argnames=("score_threshold",),
+        )
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_model_arg(
+        cls, model: str, use_pallas: bool = True, dtype: Any = jnp.float32,
+        seed: int = 0,
+    ) -> "DetectionPipeline":
+        spec, ckpt = resolve_model(model)
+        template = cls.init_variables(spec, seed=seed, dtype=dtype)
+        if ckpt is not None:
+            variables = load_params(ckpt, template)
+        else:
+            variables = template
+        return cls(spec=spec, variables=variables, use_pallas=use_pallas, dtype=dtype)
+
+    @staticmethod
+    def init_variables(spec: ModelSpec, seed: int = 0, dtype: Any = jnp.float32):
+        model = EfficientDet(spec, dtype=dtype)
+        x = jnp.zeros((1, spec.input_size, spec.input_size, 3), dtype)
+        return model.init(jax.random.PRNGKey(seed), x, train=False)
+
+    # -- inference ------------------------------------------------------------
+    def _detect_impl(self, variables, frames, score_threshold: float = 0.0):
+        images = preprocess_frames(frames, self.spec.input_size, dtype=self.dtype)
+        deltas, logits = self._model.apply(variables, images, train=False)
+        anchors = jnp.asarray(self.anchors)
+        if self.use_pallas and self.spec.num_classes == 1:
+            return detection_postprocess_pallas(
+                deltas,
+                logits,
+                anchors,
+                input_size=self.spec.input_size,
+                max_detections=MAX_DETECTIONS,
+                score_threshold=score_threshold,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        return detection_postprocess(
+            deltas,
+            logits,
+            anchors,
+            input_size=self.spec.input_size,
+            max_detections=MAX_DETECTIONS,
+            score_threshold=score_threshold,
+        )
+
+    def detect_batch(self, frames: np.ndarray, score_threshold: float = 0.0) -> Detections:
+        """uint8 RGB (B, H, W, 3) -> fixed-capacity Detections on device."""
+        return self._detect(self.variables, frames, score_threshold=score_threshold)
+
+    def detections_to_tracker_inputs(
+        self, det: Detections, threshold: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Convert device Detections to (B, D, 6) tracker rows + valid mask.
+
+        Rows are [x1, y1, x2, y2, score, class] in normalized coordinates —
+        the adapter contract of odt.py:102-118, with the score threshold
+        applied the way detect_objects does (scores >= threshold,
+        odt.py:70-75).
+        """
+        boxes = np.asarray(det.boxes, dtype=np.float64)  # (B, D, 4) y1x1y2x2
+        scores = np.asarray(det.scores, dtype=np.float64)
+        counts = np.asarray(det.count)
+        b, d, _ = boxes.shape
+        rows = np.zeros((b, d, 6), np.float64)
+        rows[..., 0] = boxes[..., 1]  # x1
+        rows[..., 1] = boxes[..., 0]  # y1
+        rows[..., 2] = boxes[..., 3]  # x2
+        rows[..., 3] = boxes[..., 2]  # y2
+        rows[..., 4] = scores
+        slot = np.arange(d)[None, :]
+        valid = (slot < counts[:, None]) & (scores >= threshold)
+        return rows, valid

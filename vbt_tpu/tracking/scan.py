@@ -424,17 +424,29 @@ def tracker_step(cfg: ScanTrackerConfig, st: TrackerState, dets, det_valid):
     return st, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def track_video(cfg: ScanTrackerConfig, dets, det_valid):
+@functools.partial(jax.jit, static_argnames=("cfg", "skip_empty_frames"))
+def track_video(cfg: ScanTrackerConfig, dets, det_valid, skip_empty_frames=True):
     """Track a whole video in one compiled scan.
 
     ``dets``: (T, D, 6); ``det_valid``: (T, D) -> FrameTracks stacked over T.
+
+    With ``skip_empty_frames`` (the reference behaviour, track.py:180-181:
+    ``tracker.update`` is never called on frames without detections, so
+    tracks neither predict nor age on those frames), a frame whose mask is
+    all-False leaves the tracker state untouched and reports nothing.
     """
     st = init_state(cfg, dtype=dets.dtype)
 
     def step(st, inp):
         d, v = inp
-        return tracker_step(cfg, st, d, v)
+        new_st, out = tracker_step(cfg, st, d, v)
+        if skip_empty_frames:
+            active = v.any()
+            new_st = jax.tree.map(
+                lambda a, b: jnp.where(active, a, b), new_st, st
+            )
+            out = out._replace(report=out.report & active)
+        return new_st, out
 
     _, out = jax.lax.scan(step, st, (dets, det_valid))
     return out
