@@ -56,7 +56,9 @@ def _host_outputs(tracker, frames):
 
 def _device_outputs(cfg, frames):
     dets, valid = _pad_frames(frames)
-    tracks = track_video(cfg, dets, valid)
+    # The host harness calls tracker.update on every frame (including empty
+    # ones), so disable the CLI's reference empty-frame skip here.
+    tracks = track_video(cfg, dets, valid, skip_empty_frames=False)
     report = np.asarray(tracks.report)
     boxes = np.asarray(tracks.box)
     ids = np.asarray(tracks.track_id)
