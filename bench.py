@@ -1,0 +1,71 @@
+"""Benchmark: EfficientDet-Lite0 @320 batched detection throughput per chip.
+
+Measures the full device pipeline — fused uint8 preprocessing, bf16
+backbone+BiFPN+heads, Pallas anchor-decode + NMS — on the local accelerator
+and prints ONE JSON line. Baseline: the north-star target of 2000 frames/sec
+per chip (BASELINE.md; the reference publishes no throughput numbers).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 64
+WARMUP = 5
+ITERS = 30
+TARGET_FPS = 2000.0  # north-star baseline (BASELINE.md)
+
+
+def main():
+    from vbt_tpu.models import get_model_spec
+    from vbt_tpu.runtime.pipeline import DetectionPipeline
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu" or platform == "axon"
+
+    spec = get_model_spec("efficientdet_lite0")
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    pipeline = DetectionPipeline(
+        spec=spec,
+        variables=DetectionPipeline.init_variables(spec, dtype=dtype),
+        use_pallas=on_tpu,
+        dtype=dtype,
+    )
+
+    rng = np.random.default_rng(0)
+    # Distinct frame batches so backend result-caching cannot flatter us.
+    batches = [
+        jnp.asarray(
+            rng.integers(0, 255, size=(BATCH, spec.input_size, spec.input_size, 3)),
+            jnp.uint8,
+        )
+        for _ in range(4)
+    ]
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(pipeline.detect_batch(batches[0]))
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = pipeline.detect_batch(batches[i % len(batches)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "efficientdet_lite0_320_detection_throughput",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Train EfficientDet-Lite barbell detectors.
+
+Capability-compatible with the reference train.py (train.py:17-70): same
+dataset layout (``data/{train,valid,test}`` PASCAL-VOC), same architecture
+names and export naming (``{arch}[_whole]``), epoch/batch defaults, COCO
+eval before/after export, and a ``models/{name}.log`` with per-epoch
+``val_loss`` lines that training_plot.py can parse (training_plot.py:20).
+
+Differences by design: no pretrained ImageNet backbone is available in this
+environment, so ``--train_whole_model`` trains everything from scratch
+(heads-only mode exists for surface parity but is not useful without
+pretrained weights); checkpoints export as flax msgpack instead of .tflite.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import click
+import jax
+import numpy as np
+
+from vbt_tpu.models import get_model_spec
+from vbt_tpu.runtime.checkpoint import save_params
+from vbt_tpu.runtime.pipeline import DetectionPipeline
+from vbt_tpu.train.data import batches, load_voc_dataset
+from vbt_tpu.train.evaluate import evaluate_model
+from vbt_tpu.train.train_step import Trainer
+
+
+def train_model(
+    architecture: str,
+    data_dir: str,
+    export_dir: str,
+    epochs: int,
+    batch_size: int,
+    train_whole_model: bool,
+    base_lr: float | None = None,
+    seed: int = 0,
+    max_steps: int | None = None,
+    log_fn=print,
+    input_size: int | None = None,
+):
+    spec = get_model_spec(architecture)
+    size = input_size or spec.input_size
+
+    train_ds = load_voc_dataset(os.path.join(data_dir, "train"), size)
+    valid_ds = load_voc_dataset(os.path.join(data_dir, "valid"), size)
+
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    total_steps = steps_per_epoch * epochs
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+    lr = base_lr if base_lr is not None else 0.08 * batch_size / 64.0
+
+    trainer = Trainer(
+        spec,
+        base_lr=lr,
+        total_steps=total_steps,
+        warmup_steps=max(total_steps // 20, 1),
+        input_size=size,
+    )
+    state = trainer.init_state(seed=seed)
+
+    # TODO(heads-only): without pretrained backbones, freezing is pointless;
+    # train_whole_model only affects the exported name, as documented.
+    del train_whole_model
+
+    rng = np.random.default_rng(seed)
+    step = 0
+    val_losses = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_metrics = []
+        for batch in batches(train_ds, batch_size, rng, augment=True):
+            state, metrics = trainer.train_step(state, batch)
+            train_metrics.append(metrics)
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+
+        vals = []
+        for batch in batches(valid_ds, min(batch_size, len(valid_ds)), rng, augment=False):
+            vals.append(trainer.eval_loss(state, batch))
+        val_loss = float(np.mean([float(v["loss"]) for v in vals])) if vals else float("nan")
+        val_losses.append(val_loss)
+        train_loss = float(np.mean([float(m["loss"]) for m in train_metrics]))
+        log_fn(
+            f"Epoch {epoch + 1}/{epochs} - {time.time() - t0:.0f}s - "
+            f"loss: {train_loss:.4f} - val_loss: {val_loss:.4f}"
+        )
+        if max_steps is not None and step >= max_steps:
+            break
+
+    return trainer, state, val_losses
+
+
+@click.command()
+@click.option("--data_dir", default="data", show_default=True,
+              help="Dataset root containing train/valid/test VOC directories.")
+@click.option("--export_dir", default="models", show_default=True)
+@click.option("--architecture", default="efficientdet_lite0", show_default=True,
+              type=click.Choice(["efficientdet_lite0", "efficientdet_lite1", "efficientdet_lite2"]))
+@click.option("--epochs", default=50, show_default=True, type=int)
+@click.option("--batch_size", default=4, show_default=True, type=int)
+@click.option("--train_whole_model/--heads_only", default=True, show_default=True)
+@click.option("--lr", default=None, type=float,
+              help="Peak learning rate; default scales 0.08 * batch/64.")
+@click.option("--seed", default=0, type=int, show_default=True)
+@click.option("--max_steps", default=None, type=int,
+              help="Hard step cap (smoke tests).")
+def main(data_dir, export_dir, architecture, epochs, batch_size,
+         train_whole_model, lr, seed, max_steps):
+    """Train a barbell detector and export it with COCO-style evaluation."""
+    os.makedirs(export_dir, exist_ok=True)
+    name = f"{architecture}_whole" if train_whole_model else architecture
+    log_path = os.path.join(export_dir, f"{name}.log")
+
+    log_lines = []
+
+    def log_fn(msg):
+        print(msg)
+        log_lines.append(msg)
+
+    trainer, state, _ = train_model(
+        architecture, data_dir, export_dir, epochs, batch_size,
+        train_whole_model, base_lr=lr, seed=seed, max_steps=max_steps,
+        log_fn=log_fn,
+    )
+
+    ckpt_path = os.path.join(export_dir, f"{name}.msgpack")
+    save_params(ckpt_path, trainer.variables(state))
+    log_fn(f"Exported {ckpt_path}")
+
+    pipeline = DetectionPipeline(spec=trainer.spec, variables=trainer.variables(state))
+    print("Evaluating the exported model...")
+    metrics = evaluate_model(pipeline, os.path.join(data_dir, "test"))
+    log_fn(str(metrics))
+
+    with open(log_path, "w") as f:
+        f.write("\n".join(log_lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

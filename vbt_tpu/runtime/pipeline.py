@@ -61,9 +61,13 @@ class DetectionPipeline:
     def __post_init__(self):
         self.anchors = generate_anchors(self.spec.anchor_config)
         self._model = EfficientDet(self.spec, dtype=self.dtype)
-        self._detect = jax.jit(
-            functools.partial(self._detect_impl),
-            static_argnames=("score_threshold",),
+        # Two dispatches on purpose: fusing the postprocess into the same
+        # XLA program as the detector makes the compiler pick layouts that
+        # cost ~10ms/batch and minutes of compile (measured on v5e); split,
+        # the pair runs in <1ms. The intermediate is ~10 MB of HBM traffic.
+        self._forward = jax.jit(self._forward_impl)
+        self._post = jax.jit(
+            self._post_impl, static_argnames=("score_threshold",)
         )
 
     # -- constructors -------------------------------------------------------
@@ -84,12 +88,17 @@ class DetectionPipeline:
     def init_variables(spec: ModelSpec, seed: int = 0, dtype: Any = jnp.float32):
         model = EfficientDet(spec, dtype=dtype)
         x = jnp.zeros((1, spec.input_size, spec.input_size, 3), dtype)
-        return model.init(jax.random.PRNGKey(seed), x, train=False)
+        # jit the init: eager per-op dispatch on TPU backends is minutes-slow.
+        return jax.jit(functools.partial(model.init, train=False))(
+            jax.random.PRNGKey(seed), x
+        )
 
     # -- inference ------------------------------------------------------------
-    def _detect_impl(self, variables, frames, score_threshold: float = 0.0):
+    def _forward_impl(self, variables, frames):
         images = preprocess_frames(frames, self.spec.input_size, dtype=self.dtype)
-        deltas, logits = self._model.apply(variables, images, train=False)
+        return self._model.apply(variables, images, train=False)
+
+    def _post_impl(self, deltas, logits, score_threshold: float = 0.0):
         anchors = jnp.asarray(self.anchors)
         if self.use_pallas and self.spec.num_classes == 1:
             return detection_postprocess_pallas(
@@ -112,7 +121,8 @@ class DetectionPipeline:
 
     def detect_batch(self, frames: np.ndarray, score_threshold: float = 0.0) -> Detections:
         """uint8 RGB (B, H, W, 3) -> fixed-capacity Detections on device."""
-        return self._detect(self.variables, frames, score_threshold=score_threshold)
+        deltas, logits = self._forward(self.variables, frames)
+        return self._post(deltas, logits, score_threshold=score_threshold)
 
     def detections_to_tracker_inputs(
         self, det: Detections, threshold: float
