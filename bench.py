@@ -20,6 +20,9 @@ TARGET_FPS = 2000.0  # north-star baseline (BASELINE.md)
 
 
 def main():
+    from vbt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from vbt_tpu.models import get_model_spec
     from vbt_tpu.runtime.pipeline import DetectionPipeline
 

@@ -220,6 +220,9 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
     and filtered positions and velocities at specific times in the video."""
     del display_image_height, threads  # display path accepts native size
     from vbt_tpu.runtime.pipeline import DetectionPipeline
+    from vbt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     export_df = df_dir is not None
     export_vid = video_dir is not None

@@ -24,7 +24,8 @@ import numpy as np
 from vbt_tpu.models import get_model_spec
 from vbt_tpu.runtime.checkpoint import save_params
 from vbt_tpu.runtime.pipeline import DetectionPipeline
-from vbt_tpu.train.data import batches, load_voc_dataset
+from vbt_tpu.train.augment import augment_and_normalize
+from vbt_tpu.train.data import batches, load_voc_dataset, raw_batches
 from vbt_tpu.train.evaluate import evaluate_model
 from vbt_tpu.train.train_step import Trainer
 
@@ -68,12 +69,18 @@ def train_model(
     del train_whole_model
 
     rng = np.random.default_rng(seed)
+    aug_key = jax.random.PRNGKey(seed)
     step = 0
     val_losses = []
     for epoch in range(epochs):
         t0 = time.time()
         train_metrics = []
-        for batch in batches(train_ds, batch_size, rng, augment=True):
+        for imgs, gt_boxes, gt_valid in raw_batches(train_ds, batch_size, rng):
+            aug_key, sub = jax.random.split(aug_key)
+            images, gt_boxes, gt_valid = augment_and_normalize(
+                imgs, gt_boxes, gt_valid, sub
+            )
+            batch = {"images": images, "gt_boxes": gt_boxes, "gt_valid": gt_valid}
             state, metrics = trainer.train_step(state, batch)
             train_metrics.append(metrics)
             step += 1
@@ -113,6 +120,9 @@ def train_model(
 def main(data_dir, export_dir, architecture, epochs, batch_size,
          train_whole_model, lr, seed, max_steps):
     """Train a barbell detector and export it with COCO-style evaluation."""
+    from vbt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     os.makedirs(export_dir, exist_ok=True)
     name = f"{architecture}_whole" if train_whole_model else architecture
     log_path = os.path.join(export_dir, f"{name}.log")
