@@ -48,24 +48,38 @@ def match_bboxes(gt_bboxes: np.ndarray, det_bboxes: np.ndarray):
     predictions dropped; returns (gt_idx, det_idx, ious) — dummy *GT* rows
     are kept (IoU 0), so every detection yields one row.
     """
-    import scipy.optimize
+    from vbt_tpu.tracking.assignment import linear_assignment
 
     n_gt = gt_bboxes.shape[0]
     n_det = det_bboxes.shape[0]
-    iou = np.zeros((n_gt, n_det))
-    for i in range(n_gt):
-        for j in range(n_det):
-            iou[i, j] = _iou(det_bboxes[j], gt_bboxes[i])
+    iou = _iou_matrix_host(
+        np.asarray(gt_bboxes, np.float64), np.asarray(det_bboxes, np.float64)
+    )
 
     if n_det > n_gt:
         iou = np.concatenate([iou, np.zeros((n_det - n_gt, n_det))], axis=0)
     if n_gt > n_det:
         iou = np.concatenate([iou, np.zeros((n_gt, n_gt - n_det))], axis=1)
 
-    idx_gt, idx_det = scipy.optimize.linear_sum_assignment(1 - iou)
-    sel = idx_det < n_det
-    idx_gt, idx_det = idx_gt[sel], idx_det[sel]
+    pairs = linear_assignment(1 - iou)
+    sel = pairs[:, 1] < n_det
+    idx_gt, idx_det = pairs[sel, 0], pairs[sel, 1]
     return idx_gt, idx_det, iou[idx_gt, idx_det]
+
+
+def _iou_matrix_host(gt: np.ndarray, det: np.ndarray) -> np.ndarray:
+    """(G, D) IoU matrix; native C++ when built, numpy loop otherwise."""
+    try:
+        from vbt_tpu.native import hostops
+    except Exception:  # pragma: no cover
+        hostops = None
+    if hostops is not None and len(gt) and len(det):
+        return hostops.iou_matrix(gt, det)
+    iou = np.zeros((len(gt), len(det)))
+    for i in range(len(gt)):
+        for j in range(len(det)):
+            iou[i, j] = _iou(det[j], gt[i])
+    return iou
 
 
 def _iou(det_box, gt_box):

@@ -19,7 +19,28 @@ BIG = 1e9
 
 
 def linear_assignment(cost: np.ndarray) -> np.ndarray:
-    """Host minimization assignment; returns (K, 2) array of (row, col)."""
+    """Host minimization assignment; returns (K, 2) array of (row, col),
+    sorted by row.
+
+    Uses the native C++ Jonker-Volgenant solver
+    (vbt_tpu/native/csrc/hostops.cpp) when built — the same algorithm as the
+    device-lane :func:`hungarian_jax` — falling back to scipy (the backend
+    the reference uses at eval.py:143).
+    """
+    cost = np.asarray(cost, np.float64)
+    try:
+        from vbt_tpu.native import hostops
+    except Exception:  # pragma: no cover
+        hostops = None
+    if hostops is not None:
+        n, m = cost.shape
+        if n <= m:
+            cols = hostops.jv_assign(cost)
+            return np.stack([np.arange(n), cols], axis=1)
+        rows = hostops.jv_assign(np.ascontiguousarray(cost.T))
+        pairs = np.stack([rows, np.arange(m)], axis=1)
+        return pairs[np.argsort(pairs[:, 0], kind="stable")]
+
     import scipy.optimize
 
     rows, cols = scipy.optimize.linear_sum_assignment(cost)
