@@ -8,30 +8,28 @@ constant-state ``lax.scan``:
 **Key observation** (see vbt_tpu.analysis.velocity for the semantics being
 reproduced): the control-flow state — phase, direction counters, running
 ``max_y_diff``, and the bar-path extrema — never depends on the *accepted
-phase list*, and the ROM/acceptance computations only affect which phases are
-reported. That splits the algorithm into:
+phase list*, and the ROM/acceptance computations only affect which phases
+are reported. That splits the algorithm into:
 
-- **Pass 1 (lax.scan, O(T) state)**: carries the direction counters, the
-  running max/min of the active bar path (incremental first-occurrence
-  argmax/argmin, replacing the reference's ``np.argmax`` over a growing list,
-  VelocityTracker.py:184-189), the previous appended sample (for the metric
-  path-length increment), and the running ``max_y_diff``. Emits, per step,
-  the path-length *contribution* of the sample and a possible phase-end
-  event ``(type, start_idx, end_idx, y_diff, max_y_diff_after)``.
-- **Pass 2 (vectorized)**: a prefix sum turns contributions into per-event
-  ROM (``prefix[end] - prefix[start]`` reproduces the reference's pairwise
-  sum over the path, VelocityTracker.py:195-201); the acceptance gate
+- **Pass 1 (lax.scan, O(1) state)**: carries the direction counters, the
+  running max/min of the active bar path together with the time and
+  *metric-path-length prefix* at each extremum (incremental first-occurrence
+  argmax/argmin, replacing the reference's ``np.argmax`` over a growing
+  list, VelocityTracker.py:184-189), the previous appended sample (for the
+  path-length increment), and the running ``max_y_diff``. A phase-end event
+  emits a complete candidate record — the prefix difference between the two
+  extrema reproduces the reference's pairwise sum over the path
+  (VelocityTracker.py:195-201) without storing it.
+- **Pass 2 (vectorized)**: the acceptance gate
   ``y_diff > max_y_diff * diff_threshold`` and ``rom >= min_distance``
   (VelocityTracker.py:192-208) and the retroactive
   ``y_diff >= final_max_y_diff / 2`` filter (VelocityTracker.py:50-67, which
-  is monotone in ``max_y_diff`` and therefore equivalent to one final filter)
-  are evaluated in parallel over all events.
+  is monotone in ``max_y_diff`` and therefore equivalent to one final
+  filter) evaluate in parallel over all candidate events.
 
-A stale contribution can linger at a step whose append was later discarded by
-a bar-path reset; it is harmless because any later event's
-``(start, end]`` interval begins after the reset.
-
-The whole video therefore runs as one compiled program with O(1) scan state.
+Because the carry is O(1) and events are self-contained, the same step
+function powers both whole-video batch analysis and the chunked streaming
+session in :mod:`vbt_tpu.runtime.streaming`.
 """
 
 from __future__ import annotations
@@ -49,20 +47,37 @@ from vbt_tpu.analysis.velocity import END_COUNT, START_COUNT
 Array = jnp.ndarray
 
 
-class _Carry(NamedTuple):
+class VelocityCarry(NamedTuple):
     phase: Array  # int32
     pos: Array  # int32
     neg: Array  # int32
     max_y_diff: Array  # float, -inf == "no phase seen yet"
-    pmax_y: Array  # running path max (first occurrence)
-    pmax_i: Array
+    pmax_y: Array  # running path max (first occurrence) + its time/prefix
+    pmax_t: Array
+    pmax_prefix: Array
     pmin_y: Array
-    pmin_i: Array
+    pmin_t: Array
+    pmin_prefix: Array
+    prefix: Array  # running metric-path-length prefix (inclusive)
     pa_x: Array  # previous appended sample (for path-length increments)
     pa_y: Array
     pa_w: Array
     pa_h: Array
     pa_valid: Array  # bool
+
+
+class EventRecord(NamedTuple):
+    """One phase-end candidate (invalid slots have ``fired`` False)."""
+
+    fired: Array  # bool
+    type: Array  # int32
+    time_start: Array
+    time_end: Array
+    y_start: Array
+    y_end: Array
+    rom: Array
+    y_diff: Array
+    max_after: Array  # running max_y_diff including this candidate
 
 
 class PhaseArrays(NamedTuple):
@@ -77,40 +92,75 @@ class PhaseArrays(NamedTuple):
     rom: Array
 
 
-def _step(plate_diameter, carry: _Carry, inp):
-    t, dy, xv, yv, wv, hv = inp
-    f = carry.pmax_y.dtype
-    c = carry
+def initial_carry(dtype=jnp.float64) -> VelocityCarry:
+    f = dtype
+    return VelocityCarry(
+        phase=jnp.asarray(HOLD, jnp.int32),
+        pos=jnp.asarray(0, jnp.int32),
+        neg=jnp.asarray(0, jnp.int32),
+        max_y_diff=jnp.asarray(-jnp.inf, f),
+        pmax_y=jnp.asarray(-jnp.inf, f),
+        pmax_t=jnp.asarray(0.0, f),
+        pmax_prefix=jnp.asarray(0.0, f),
+        pmin_y=jnp.asarray(jnp.inf, f),
+        pmin_t=jnp.asarray(0.0, f),
+        pmin_prefix=jnp.asarray(0.0, f),
+        prefix=jnp.asarray(0.0, f),
+        pa_x=jnp.asarray(0.0, f),
+        pa_y=jnp.asarray(0.0, f),
+        pa_w=jnp.asarray(1.0, f),
+        pa_h=jnp.asarray(1.0, f),
+        pa_valid=jnp.asarray(False),
+    )
+
+
+def _event_from_carry(c: VelocityCarry) -> tuple[Array, Array, Array, Array, Array, Array]:
+    """(s_t, e_t, s_y, e_y, rom, y_diff) for a phase ending now."""
+    is_conc = c.phase == CONCENTRIC
+    s_t = jnp.where(is_conc, c.pmax_t, c.pmin_t)
+    e_t = jnp.where(is_conc, c.pmin_t, c.pmax_t)
+    s_y = jnp.where(is_conc, c.pmax_y, c.pmin_y)
+    e_y = jnp.where(is_conc, c.pmin_y, c.pmax_y)
+    s_p = jnp.where(is_conc, c.pmax_prefix, c.pmin_prefix)
+    e_p = jnp.where(is_conc, c.pmin_prefix, c.pmax_prefix)
+    rom = e_p - s_p
+    y_diff = c.pmax_y - c.pmin_y
+    return s_t, e_t, s_y, e_y, rom, y_diff
+
+
+def velocity_step(
+    plate_diameter, c: VelocityCarry, inp
+) -> tuple[VelocityCarry, EventRecord]:
+    """One sample of the reference state machine; see module docstring."""
+    tv, dy, xv, yv, wv, hv = inp
+    f = c.pmax_y.dtype
 
     def contrib_from(c):
         dx_m = jnp.abs(xv - c.pa_x) / ((wv + c.pa_w) / 2) * plate_diameter
         dy_m = jnp.abs(yv - c.pa_y) / ((hv + c.pa_h) / 2) * plate_diameter
         return jnp.where(c.pa_valid, dx_m + dy_m, jnp.asarray(0.0, f))
 
-    def appended(c):
-        new_max = yv > c.pmax_y
-        new_min = yv < c.pmin_y
+    def masked_append(c, mask):
+        prefix = c.prefix + jnp.where(mask, contrib_from(c), jnp.asarray(0.0, f))
+        new_max = mask & (yv > c.pmax_y)
+        new_min = mask & (yv < c.pmin_y)
         return c._replace(
+            prefix=prefix,
             pmax_y=jnp.where(new_max, yv, c.pmax_y),
-            pmax_i=jnp.where(new_max, t, c.pmax_i),
+            pmax_t=jnp.where(new_max, tv, c.pmax_t),
+            pmax_prefix=jnp.where(new_max, prefix, c.pmax_prefix),
             pmin_y=jnp.where(new_min, yv, c.pmin_y),
-            pmin_i=jnp.where(new_min, t, c.pmin_i),
-            pa_x=xv,
-            pa_y=yv,
-            pa_w=wv,
-            pa_h=hv,
-            pa_valid=jnp.asarray(True),
+            pmin_t=jnp.where(new_min, tv, c.pmin_t),
+            pmin_prefix=jnp.where(new_min, prefix, c.pmin_prefix),
+            pa_x=jnp.where(mask, xv, c.pa_x),
+            pa_y=jnp.where(mask, yv, c.pa_y),
+            pa_w=jnp.where(mask, wv, c.pa_w),
+            pa_h=jnp.where(mask, hv, c.pa_h),
+            pa_valid=c.pa_valid | mask,
         )
 
-    def masked_append(c, mask):
-        new = appended(c)
-        contrib = jnp.where(mask, contrib_from(c), jnp.asarray(0.0, f))
-        merged = jax.tree.map(lambda a, b: jnp.where(mask, b, a), c, new)
-        return merged, contrib
-
     # -- record the sample on the active bar path (VelocityTracker.py:104-106)
-    in_phase = c.phase != HOLD
-    c, contrib_pre = masked_append(c, in_phase)
+    c = masked_append(c, c.phase != HOLD)
 
     # -- concentric end check (VelocityTracker.py:108-116)
     is_conc = c.phase == CONCENTRIC
@@ -127,9 +177,7 @@ def _step(plate_diameter, carry: _Carry, inp):
 
     ended = conc_end | ecc_end
     etype = c.phase
-    s_ev = jnp.where(is_conc, c.pmax_i, c.pmin_i)
-    e_ev = jnp.where(is_conc, c.pmin_i, c.pmax_i)
-    y_diff = c.pmax_y - c.pmin_y  # == |y[argmax] - y[argmin]|
+    s_t, e_t, s_y, e_y, rom, y_diff = _event_from_carry(c)
     max_after = jnp.where(ended & (y_diff > c.max_y_diff), y_diff, c.max_y_diff)
 
     phase1 = jnp.where(ended, HOLD, c.phase)
@@ -171,11 +219,64 @@ def _step(plate_diameter, carry: _Carry, inp):
 
     # -- pre-start appends while counting in HOLD (mutually exclusive with
     #    both the reset and the in-phase append above)
-    c, contrib_hold = masked_append(c, app_n | app_p)
+    c = masked_append(c, app_n | app_p)
 
     carry_out = c._replace(phase=phase3, pos=pos7, neg=neg7, max_y_diff=max_after)
-    out = (contrib_pre + contrib_hold, ended, etype, s_ev, e_ev, y_diff, max_after)
-    return carry_out, out
+    event = EventRecord(
+        fired=ended,
+        type=etype,
+        time_start=s_t,
+        time_end=e_t,
+        y_start=s_y,
+        y_end=e_y,
+        rom=rom,
+        y_diff=y_diff,
+        max_after=max_after,
+    )
+    return carry_out, event
+
+
+def flush_event(c: VelocityCarry) -> tuple[VelocityCarry, EventRecord]:
+    """End-of-stream flush of an open phase (VelocityTracker.py:224-230)."""
+    fired = c.phase != HOLD
+    s_t, e_t, s_y, e_y, rom, y_diff = _event_from_carry(c)
+    max_after = jnp.where(fired & (y_diff > c.max_y_diff), y_diff, c.max_y_diff)
+    event = EventRecord(
+        fired=fired,
+        type=c.phase,
+        time_start=s_t,
+        time_end=e_t,
+        y_start=s_y,
+        y_end=e_y,
+        rom=rom,
+        y_diff=y_diff,
+        max_after=max_after,
+    )
+    return c._replace(max_y_diff=max_after), event
+
+
+def finalize_events(
+    events: EventRecord,
+    final_max: Array,
+    diff_threshold: float,
+    min_distance: float,
+) -> PhaseArrays:
+    """Pass 2: vectorized acceptance + one-shot retroactive filter."""
+    accept = (
+        events.fired
+        & (events.y_diff > events.max_after * diff_threshold)
+        & (events.rom >= min_distance)
+        & (events.y_diff >= final_max / 2)
+    )
+    return PhaseArrays(
+        valid=accept,
+        type=events.type,
+        time_start=events.time_start,
+        time_end=events.time_end,
+        y_start=events.y_start,
+        y_end=events.y_end,
+        rom=events.rom,
+    )
 
 
 def segment_phases(
@@ -200,62 +301,16 @@ def segment_phases(
     time, x, y, dy, width, height = (
         jnp.asarray(a, f) for a in (time, x, y, dy, width, height)
     )
-    n = y.shape[0]
-    init = _Carry(
-        phase=jnp.asarray(HOLD, jnp.int32),
-        pos=jnp.asarray(0, jnp.int32),
-        neg=jnp.asarray(0, jnp.int32),
-        max_y_diff=jnp.asarray(-jnp.inf, f),
-        pmax_y=jnp.asarray(-jnp.inf, f),
-        pmax_i=jnp.asarray(0, jnp.int32),
-        pmin_y=jnp.asarray(jnp.inf, f),
-        pmin_i=jnp.asarray(0, jnp.int32),
-        pa_x=jnp.asarray(0.0, f),
-        pa_y=jnp.asarray(0.0, f),
-        pa_w=jnp.asarray(1.0, f),
-        pa_h=jnp.asarray(1.0, f),
-        pa_valid=jnp.asarray(False),
+    init = initial_carry(f)
+    xs = (time, dy, x, y, width, height)
+    final, events = jax.lax.scan(
+        functools.partial(velocity_step, jnp.asarray(plate_diameter, f)), init, xs
     )
-    xs = (jnp.arange(n, dtype=jnp.int32), dy, x, y, width, height)
-    final, (contrib, ended, etype, s_ev, e_ev, y_diff, max_after) = jax.lax.scan(
-        functools.partial(_step, jnp.asarray(plate_diameter, f)), init, xs
+    final, flush = flush_event(final)
+    events = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b[None]]), events, flush
     )
-
-    # Flush an open phase at stream end (VelocityTracker.py:224-230).
-    flush = final.phase != HOLD
-    f_is_conc = final.phase == CONCENTRIC
-    f_s = jnp.where(f_is_conc, final.pmax_i, final.pmin_i)
-    f_e = jnp.where(f_is_conc, final.pmin_i, final.pmax_i)
-    f_ydiff = final.pmax_y - final.pmin_y
-    f_max = jnp.where(flush & (f_ydiff > final.max_y_diff), f_ydiff, final.max_y_diff)
-
-    ended = jnp.concatenate([ended, flush[None]])
-    etype = jnp.concatenate([etype, final.phase[None]])
-    s_ev = jnp.concatenate([s_ev, f_s[None]])
-    e_ev = jnp.concatenate([e_ev, f_e[None]])
-    y_diff = jnp.concatenate([y_diff, f_ydiff[None]])
-    max_after = jnp.concatenate([max_after, f_max[None]])
-
-    # Pass 2: vectorized ROM + acceptance over all candidate events.
-    prefix = jnp.cumsum(contrib)
-    rom = prefix[e_ev] - prefix[s_ev]
-    final_max = f_max  # running max is monotone; last value is the global max
-    accept = (
-        ended
-        & (y_diff > max_after * diff_threshold)
-        & (rom >= min_distance)
-        & (y_diff >= final_max / 2)
-    )
-
-    return PhaseArrays(
-        valid=accept,
-        type=etype,
-        time_start=time[s_ev],
-        time_end=time[e_ev],
-        y_start=y[s_ev],
-        y_end=y[e_ev],
-        rom=rom,
-    )
+    return finalize_events(events, final.max_y_diff, diff_threshold, min_distance)
 
 
 @functools.partial(jax.jit, static_argnames=("presmooth",))

@@ -22,17 +22,30 @@ def evaluate_model(pipeline, data_dir: str, label: str = "barbell") -> dict:
     annotations = read_voc_annotations(data_dir, label=label)
     jpgs = {os.path.basename(p): p for p in glob.glob(os.path.join(data_dir, "*.jpg"))}
 
-    detections, ground_truths = [], []
+    # Host-resize everything to the model input so the device program
+    # compiles once (per-image original shapes would retrace per image).
+    size = pipeline.spec.input_size
+    images, dims, ground_truths = [], [], []
     for fname, gt in sorted(annotations.items()):
         if fname not in jpgs:
             continue
         img = cv2.cvtColor(cv2.imread(jpgs[fname]), cv2.COLOR_BGR2RGB)
-        h, w, _ = img.shape
-        det = pipeline.detect_batch(img[None])
-        n = int(det.count[0])
-        boxes = np.asarray(det.boxes[0][:n], np.float64) * np.array([h, w, h, w])
-        detections.append(
-            {"boxes": boxes, "scores": np.asarray(det.scores[0][:n], np.float64)}
-        )
+        dims.append(img.shape[:2])
+        images.append(cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR))
         ground_truths.append(gt.astype(np.float64))
+
+    detections = []
+    batch = 32
+    for i in range(0, len(images), batch):
+        chunk = images[i : i + batch]
+        pad = batch - len(chunk)
+        frames = np.stack(chunk + [chunk[-1]] * pad)
+        det = pipeline.detect_batch(frames)
+        for j in range(len(chunk)):
+            h, w = dims[i + j]
+            n = int(det.count[j])
+            boxes = np.asarray(det.boxes[j][:n], np.float64) * np.array([h, w, h, w])
+            detections.append(
+                {"boxes": boxes, "scores": np.asarray(det.scores[j][:n], np.float64)}
+            )
     return coco_metrics(detections, ground_truths)
