@@ -173,10 +173,15 @@ def track_one(
     display: bool = False,
     frame_stride: int = 1,
     batch_size: int = 32,
+    timer=None,
 ) -> dict:
-    dets, valid, meta = collect_detections(
-        detector, src, detection_treshold, batch_size
-    )
+    from vbt_tpu.utils.profiling import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
+    with timer.stage("decode+detect"):
+        dets, valid, meta = collect_detections(
+            detector, src, detection_treshold, batch_size
+        )
     if frame_stride > 1:
         # Reference perf hack (track.py:166): keep frames where
         # frame_count % stride == 0 (1-based count).
@@ -184,11 +189,14 @@ def track_one(
         keep = (idx + 1) % frame_stride == 0
         dets, valid = dets[keep], valid[keep]
     runner = run_scan_tracker if tracker_kind == "scan" else run_host_tracker
-    tracks = runner(dets, valid)
+    with timer.stage(f"tracker[{tracker_kind}]"):
+        tracks = runner(dets, valid)
     if video_path is not None:
-        render_annotated_video(src, tracks, video_path, display)
+        with timer.stage("annotate+encode"):
+            render_annotated_video(src, tracks, video_path, display)
     fps = meta.fps / frame_stride if frame_stride > 1 else meta.fps
-    return tracks_to_data(tracks, fps)
+    with timer.stage("dataframe"):
+        return tracks_to_data(tracks, fps)
 
 
 @click.command()
@@ -213,8 +221,11 @@ def track_one(
               help="Process every Nth frame (the reference's %16 perf hack; golden dataframes use 1).")
 @click.option("--batch_size", default=32, type=int, show_default=True,
               help="Device frame batch size.")
+@click.option("--profile_dir", default=None, show_default=True,
+              help="Write a jax.profiler device trace to this directory.")
+@click.option("--timing", is_flag=True, help="Print per-stage wall-clock accounting.")
 def main(src, model, detection_treshold, display_image_height, df_dir, video_dir,
-         threads, tracker, display, frame_stride, batch_size):
+         threads, tracker, display, frame_stride, batch_size, profile_dir, timing):
     """Visualize the object detection model for barbell tracking on a video
     and create a dataframe containing the detected objects their raw
     and filtered positions and velocities at specific times in the video."""
@@ -231,27 +242,35 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
     if export_vid:
         os.makedirs(video_dir, exist_ok=True)
 
+    from vbt_tpu.utils.profiling import StageTimer, trace
+
     detector = DetectionPipeline.from_model_arg(model)
+    timer = StageTimer()
 
-    for s in src:
-        if not os.path.isfile(s):
-            raise FileNotFoundError()
+    with trace(profile_dir):
+        for s in src:
+            if not os.path.isfile(s):
+                raise FileNotFoundError()
 
-        video_path = None
-        if export_vid:
-            video_filename = f"{os.path.basename(s).split('.')[0]}.mp4"
-            video_path = os.path.join(video_dir, video_filename)
+            video_path = None
+            if export_vid:
+                video_filename = f"{os.path.basename(s).split('.')[0]}.mp4"
+                video_path = os.path.join(video_dir, video_filename)
 
-        data = track_one(
-            detector, s, detection_treshold,
-            tracker_kind=tracker, video_path=video_path,
-            display=display, frame_stride=frame_stride, batch_size=batch_size,
-        )
+            data = track_one(
+                detector, s, detection_treshold,
+                tracker_kind=tracker, video_path=video_path,
+                display=display, frame_stride=frame_stride, batch_size=batch_size,
+                timer=timer,
+            )
 
-        if export_df and data["id"]:
-            df = build_track_df(data)
-            df_filename = build_df_filename(s, max_travel_id(df), model)
-            df.to_pickle(os.path.join(df_dir, df_filename) if df_dir else df_filename)
+            if export_df and data["id"]:
+                df = build_track_df(data)
+                df_filename = build_df_filename(s, max_travel_id(df), model)
+                df.to_pickle(os.path.join(df_dir, df_filename) if df_dir else df_filename)
+
+    if timing:
+        print(timer.report())
 
 
 if __name__ == "__main__":
