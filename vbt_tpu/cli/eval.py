@@ -183,7 +183,52 @@ def plot_precision_recall(df, fig_dir, iou_threshold, score_thresholds=None):
     plt.tight_layout()
     plt.savefig(os.path.join(fig_dir, f"precision_recall_iou_{iou_threshold}.pdf"))
     plt.close()
+
+    if score_thresholds:
+        # Per-model curves with annotated operating points (eval.py:241-338).
+        colors = _model_colors(handles, labels)
+        for m in pd.unique(df["Model"]):
+            dfm = df_prc.query("Model == @m")
+            _, ax = plt.subplots(figsize=(7, 3))
+            sns.lineplot(ax=ax, data=dfm, x="Recall", y="Precision",
+                         hue="Model", errorbar=None, palette=[colors[m]])
+            ax.set_xlim(0, 1.01)
+            ax.set_ylim(0, 1.01)
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+            h2, l2 = ax.get_legend_handles_labels()
+            l2 = [f"{model}, AP={aps[model]:.4f}" for model in l2]
+            ax.legend(h2, l2, loc="lower left")
+            ax.xaxis.set_minor_locator(MultipleLocator(0.05))
+            ax.yaxis.set_minor_locator(MultipleLocator(0.05))
+            ax.grid(which="major", color="gray", linestyle="-", linewidth=0.5, alpha=0.7)
+            ax.grid(which="minor", color="gray", linestyle=":", linewidth=0.5, alpha=0.5)
+            for i, v in enumerate(score_thresholds[::-1]):
+                row = dfm.loc[(dfm["Threshold"] - v).abs().idxmin()]
+                ax.annotate(
+                    f"{row['Threshold']:.4f}",
+                    xy=(row["Recall"], row["Precision"]),
+                    xycoords="data",
+                    xytext=(-50, -(min(i, 3) + 1) * 15),
+                    textcoords="offset points",
+                    arrowprops=dict(arrowstyle="->", color="k",
+                                    connectionstyle="arc3,rad=+0.1", relpos=(1, 1)),
+                    fontsize=10,
+                )
+            plt.tight_layout()
+            plt.savefig(os.path.join(fig_dir, f"precision_recall_{m}_iou_{iou_threshold}.pdf"))
+            plt.close()
     return aps
+
+
+def _model_colors(handles, labels):
+    """Color per model from the combined-plot legend, robust name matching
+    (documents the reference's fragile startswith check, eval.py:285)."""
+    colors = {}
+    for handle, label in zip(handles, labels):
+        model = label.split(",")[0]
+        colors[model] = handle.get_color()
+    return colors
 
 
 def plot_roc(df, fig_dir, iou_threshold, score_thresholds=None):
@@ -224,6 +269,41 @@ def plot_roc(df, fig_dir, iou_threshold, score_thresholds=None):
     plt.tight_layout()
     plt.savefig(os.path.join(fig_dir, f"roc_iou_{iou_threshold}.pdf"))
     plt.close()
+
+    if score_thresholds:
+        # Per-model ROC curves with annotated thresholds (eval.py:390-468).
+        colors = _model_colors(handles, labels)
+        for m in pd.unique(df["Model"]):
+            dfm = df_roc.query("Model == @m")
+            _, ax = plt.subplots(figsize=(7, 3))
+            sns.lineplot(ax=ax, data=dfm, x="FP Rate", y="TP Rate",
+                         hue="Model", errorbar=None, palette=[colors[m]])
+            ax.set_xlim(0, 1.01)
+            ax.set_ylim(0, 1.01)
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+            h2, l2 = ax.get_legend_handles_labels()
+            l2 = [f"{model}, AUC={aucs[model]:.4f}" for model in l2]
+            ax.legend(h2, l2, loc="lower right")
+            ax.xaxis.set_minor_locator(MultipleLocator(0.05))
+            ax.yaxis.set_minor_locator(MultipleLocator(0.05))
+            ax.grid(which="major", color="gray", linestyle="-", linewidth=0.5, alpha=0.7)
+            ax.grid(which="minor", color="gray", linestyle=":", linewidth=0.5, alpha=0.5)
+            for i, v in enumerate(score_thresholds):
+                row = dfm.loc[(dfm["Threshold"] - v).abs().idxmin()]
+                ax.annotate(
+                    f"{row['Threshold']:.4f}",
+                    xy=(row["FP Rate"], row["TP Rate"]),
+                    xycoords="data",
+                    xytext=((len(score_thresholds) - i) * 8, -(i + 1) * 15),
+                    textcoords="offset points",
+                    arrowprops=dict(arrowstyle="->", color="k",
+                                    connectionstyle="arc3,rad=-0.1", relpos=(0, 1)),
+                    fontsize=10,
+                )
+            plt.tight_layout()
+            plt.savefig(os.path.join(fig_dir, f"roc_{m}_iou_{iou_threshold}.pdf"))
+            plt.close()
     return aucs
 
 

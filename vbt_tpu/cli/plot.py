@@ -26,6 +26,31 @@ POSITION_COLS = ("x", "y")
 VELOCITY_COLS = ("dx", "dy")
 PLATE_COLS = ("norm_plate_height", "norm_plate_width")
 
+# The reference maintained a Slovak label variant (figs_sk/) by toggling
+# commented lines in plot.py:112-217; here it is a --lang option.
+LABELS = {
+    "en": dict(
+        pos_ylabel="[Normalized image coordinates]",
+        pos_title="Bar position over time, ROM for each concentric phase displayed in [m]",
+        vel_ylabel=r"[(Normalized image coordinates)$\cdot$s$^{-1}$]",
+        vel_title="Bar speed over time, ACV for each concentric phase displayed in [m/s]",
+        concentric="Concentric",
+        eccentric="Eccentric",
+        phase="Phase",
+        xlabel="Time [s]",
+    ),
+    "sk": dict(
+        pos_ylabel="[Normalizované súradnice]",
+        pos_title="Poloha činky v čase, dĺžka trajektórie pre každú koncentrickú fázu zobrazená v [m]",
+        vel_ylabel=r"[(Normalizované súradnice)$\cdot$s$^{-1}]$",
+        vel_title="Rýchlosť činky v čase, metrika ACV zobrazená pre každú koncetrickú fázu v [m/s]",
+        concentric="Koncentrická",
+        eccentric="Excentrická",
+        phase="Fáza",
+        xlabel="Čas [s]",
+    ),
+}
+
 
 def smooth_track_df(df: pd.DataFrame) -> pd.DataFrame:
     """plot.py:90-95 smoothing: rolling-5 mean on kinematics, expanding mean
@@ -52,13 +77,14 @@ def analyze_phases(df: pd.DataFrame, plate_diameter: float, engine: str) -> list
     return analyze_df(df, plate_diameter)
 
 
-def render_figure(df: pd.DataFrame, phases: list[Phase]):
+def render_figure(df: pd.DataFrame, phases: list[Phase], lang: str = "en"):
     """Two stacked panels: position and velocity over time, with phase spans
     and per-rep ROM [m] / ACV [m/s] labels (plot.py:112-217)."""
     import matplotlib.patches as mpatches
     import matplotlib.pyplot as plt
     import seaborn as sns
 
+    text = LABELS[lang]
     sns.set_theme(style="ticks", context="paper")
     sns.set_palette("rocket")
 
@@ -79,9 +105,9 @@ def render_figure(df: pd.DataFrame, phases: list[Phase]):
     start, end = df["time"].min(), df["time"].max()
     pos_ylim = pos_ax.get_ylim()
     pos_ax.set(
-        ylabel="[Normalized image coordinates]",
+        ylabel=text["pos_ylabel"],
         xlabel=None,
-        title="Bar position over time, ROM for each concentric phase displayed in [m]",
+        title=text["pos_title"],
         ylim=[max(pos_ylim[0] - 0.2, 0), min(pos_ylim[1] + 0.2, 1)],
         xlim=[start, end],
     )
@@ -89,9 +115,9 @@ def render_figure(df: pd.DataFrame, phases: list[Phase]):
 
     vel_ylim = vel_ax.get_ylim()
     vel_ax.set(
-        ylabel=r"[(Normalized image coordinates)$\cdot$s$^{-1}$]",
+        ylabel=text["vel_ylabel"],
         xlabel=None,
-        title="Bar speed over time, ACV for each concentric phase displayed in [m/s]",
+        title=text["vel_title"],
         xlim=[start, end],
     )
     vel_ax.legend(ncol=1, loc="upper left")
@@ -127,11 +153,11 @@ def render_figure(df: pd.DataFrame, phases: list[Phase]):
             )
 
     legend_patches = [
-        mpatches.Patch(color=PHASE_COLORS[CONCENTRIC], alpha=0.2, label="Concentric"),
-        mpatches.Patch(color=PHASE_COLORS[ECCENTRIC], alpha=0.2, label="Eccentric"),
+        mpatches.Patch(color=PHASE_COLORS[CONCENTRIC], alpha=0.2, label=text["concentric"]),
+        mpatches.Patch(color=PHASE_COLORS[ECCENTRIC], alpha=0.2, label=text["eccentric"]),
     ]
-    fig.legend(handles=legend_patches, loc="lower right", ncol=2, framealpha=1.0, title="Phase")
-    plt.xlabel("Time [s]")
+    fig.legend(handles=legend_patches, loc="lower right", ncol=2, framealpha=1.0, title=text["phase"])
+    plt.xlabel(text["xlabel"])
 
     x_max = ceil(vel_ax.get_xlim()[1])
     x_min = floor(vel_ax.get_xlim()[0])
@@ -143,7 +169,7 @@ def render_figure(df: pd.DataFrame, phases: list[Phase]):
 
 
 def plot_one(src: str, show_fig: bool, save_fig: bool, plate_diameter: float,
-             fig_dir: str | None, engine: str = "host"):
+             fig_dir: str | None, engine: str = "host", lang: str = "en"):
     import matplotlib.pyplot as plt
 
     parsed = parse_df_filename(src)
@@ -155,7 +181,7 @@ def plot_one(src: str, show_fig: bool, save_fig: bool, plate_diameter: float,
     df = df.query(f"id == {parsed.tracking_id}").drop(columns=["id"])
     df = smooth_track_df(df)
     phases = analyze_phases(df, plate_diameter, engine)
-    render_figure(df, phases)
+    render_figure(df, phases, lang=lang)
 
     if save_fig:
         filename = f"{os.path.basename(src).split('.')[0]}.pdf"
@@ -177,7 +203,9 @@ def plot_one(src: str, show_fig: bool, save_fig: bool, plate_diameter: float,
 @click.option("--engine", default="host", type=click.Choice(["host", "jax"]),
               show_default=True,
               help="Phase segmentation engine: exact host lane or compiled lax.scan.")
-def main(src, show_fig, plate_diameter, fig_dir, engine):
+@click.option("--lang", default="en", type=click.Choice(["en", "sk"]), show_default=True,
+              help="Figure label language (the reference shipped figs_sk/ Slovak variants).")
+def main(src, show_fig, plate_diameter, fig_dir, engine, lang):
     """Visualize the bar position and speeds over time based on the passed in
     dataframe in the pickle format."""
     save_fig = fig_dir is not None
@@ -186,7 +214,7 @@ def main(src, show_fig, plate_diameter, fig_dir, engine):
     for s in src:
         if not os.path.isfile(s):
             raise FileNotFoundError()
-        plot_one(s, show_fig, save_fig, plate_diameter, fig_dir, engine)
+        plot_one(s, show_fig, save_fig, plate_diameter, fig_dir, engine, lang)
 
 
 if __name__ == "__main__":
