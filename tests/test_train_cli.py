@@ -1,0 +1,59 @@
+"""train CLI smoke on a tiny slice of the real dataset (CPU) + checkpointing."""
+
+import os
+import re
+import shutil
+
+import numpy as np
+import pytest
+
+from vbt_tpu.models import get_model_spec
+from vbt_tpu.runtime.checkpoint import (
+    latest_train_checkpoint,
+    load_train_checkpoint,
+    save_train_checkpoint,
+)
+from vbt_tpu.train.train_step import Trainer
+
+
+@pytest.fixture()
+def tiny_data(reference_root, tmp_path):
+    """A 12-image train / 4-valid / 4-test copy of the real dataset."""
+    import glob
+
+    for part, n in [("train", 12), ("valid", 4), ("test", 4)]:
+        src = reference_root / "data" / ("train" if part == "train" else part)
+        os.makedirs(tmp_path / part)
+        xmls = sorted(glob.glob(str(src / "*.xml")))[:n]
+        for x in xmls:
+            stem = os.path.basename(x)[:-4]
+            shutil.copy(x, tmp_path / part / f"{stem}.xml")
+            shutil.copy(str(src / f"{stem}.jpg"), tmp_path / part / f"{stem}.jpg")
+    return str(tmp_path)
+
+
+def test_train_model_smoke(tiny_data, tmp_path):
+    from vbt_tpu.cli.train import train_model
+
+    logs = []
+    trainer, state, val_losses = train_model(
+        "efficientdet_lite0", tiny_data, str(tmp_path), epochs=2, batch_size=4,
+        train_whole_model=True, base_lr=0.01, max_steps=4, log_fn=logs.append,
+        input_size=128,
+    )
+    assert int(state.step) == 4
+    assert len(val_losses) >= 1 and np.isfinite(val_losses[0])
+    assert any(re.search(r"val_loss: \d+\.\d+", line) for line in logs)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = Trainer(get_model_spec("efficientdet_lite0"), total_steps=10,
+                      warmup_steps=1, input_size=128)
+    state = trainer.init_state(seed=0)
+    save_train_checkpoint(str(tmp_path), 3, state)
+    assert latest_train_checkpoint(str(tmp_path)) == 3
+    restored = load_train_checkpoint(str(tmp_path), 3, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["backbone"]["stem"]["kernel"]),
+        np.asarray(state.params["backbone"]["stem"]["kernel"]),
+    )

@@ -42,6 +42,9 @@ def train_model(
     max_steps: int | None = None,
     log_fn=print,
     input_size: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     spec = get_model_spec(architecture)
     size = input_size or spec.input_size
@@ -68,11 +71,25 @@ def train_model(
     # train_whole_model only affects the exported name, as documented.
     del train_whole_model
 
-    rng = np.random.default_rng(seed)
-    aug_key = jax.random.PRNGKey(seed)
-    step = 0
+    from vbt_tpu.runtime.checkpoint import (
+        latest_train_checkpoint,
+        load_train_checkpoint,
+        save_train_checkpoint,
+    )
+
+    start_epoch = 0
+    if resume and checkpoint_dir is not None:
+        latest = latest_train_checkpoint(checkpoint_dir)
+        if latest is not None:
+            state = load_train_checkpoint(checkpoint_dir, latest, state)
+            start_epoch = latest
+            log_fn(f"Resumed from checkpoint at epoch {latest}")
+
+    rng = np.random.default_rng(seed + start_epoch)
+    aug_key = jax.random.PRNGKey(seed + start_epoch)
+    step = start_epoch * steps_per_epoch
     val_losses = []
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         train_metrics = []
         for imgs, gt_boxes, gt_valid in raw_batches(train_ds, batch_size, rng):
@@ -97,6 +114,12 @@ def train_model(
             f"Epoch {epoch + 1}/{epochs} - {time.time() - t0:.0f}s - "
             f"loss: {train_loss:.4f} - val_loss: {val_loss:.4f}"
         )
+        if (
+            checkpoint_dir is not None
+            and checkpoint_every
+            and (epoch + 1) % checkpoint_every == 0
+        ):
+            save_train_checkpoint(checkpoint_dir, epoch + 1, state)
         if max_steps is not None and step >= max_steps:
             break
 
@@ -117,8 +140,14 @@ def train_model(
 @click.option("--seed", default=0, type=int, show_default=True)
 @click.option("--max_steps", default=None, type=int,
               help="Hard step cap (smoke tests).")
+@click.option("--checkpoint_dir", default=None,
+              help="Directory for mid-training checkpoints.")
+@click.option("--checkpoint_every", default=0, type=int, show_default=True,
+              help="Checkpoint every N epochs (0 = off).")
+@click.option("--resume", is_flag=True, help="Resume from the latest checkpoint.")
 def main(data_dir, export_dir, architecture, epochs, batch_size,
-         train_whole_model, lr, seed, max_steps):
+         train_whole_model, lr, seed, max_steps, checkpoint_dir,
+         checkpoint_every, resume):
     """Train a barbell detector and export it with COCO-style evaluation."""
     from vbt_tpu.utils.cache import enable_persistent_cache
 
@@ -136,7 +165,8 @@ def main(data_dir, export_dir, architecture, epochs, batch_size,
     trainer, state, _ = train_model(
         architecture, data_dir, export_dir, epochs, batch_size,
         train_whole_model, base_lr=lr, seed=seed, max_steps=max_steps,
-        log_fn=log_fn,
+        log_fn=log_fn, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every, resume=resume,
     )
 
     ckpt_path = os.path.join(export_dir, f"{name}.msgpack")

@@ -26,3 +26,30 @@ def load_params(path: str, template: Any) -> Any:
     structure (shapes/dtypes validated by flax)."""
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+def save_train_checkpoint(ckpt_dir: str, step: int, state: Any) -> None:
+    """Mid-training checkpoint (step-numbered msgpack + LATEST marker).
+
+    Adds the checkpoint/resume capability the reference lacks (SURVEY.md §5:
+    training wrote only the final artifact)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step:08d}.msgpack")
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+        f.write(f"{step}\n")
+
+
+def latest_train_checkpoint(ckpt_dir: str) -> int | None:
+    marker = os.path.join(ckpt_dir, "LATEST")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
+def load_train_checkpoint(ckpt_dir: str, step: int, template: Any) -> Any:
+    path = os.path.join(ckpt_dir, f"step_{step:08d}.msgpack")
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
