@@ -133,3 +133,16 @@ def test_real_pipeline_smoke():
     rows, valid = pipe.detections_to_tracker_inputs(det, threshold=0.0)
     assert rows.shape == (2, 25, 6)
     assert valid.shape == (2, 25)
+
+
+def test_track_many_matches_track_one(synthetic_video):
+    from vbt_tpu.cli.track import track_many
+
+    results = track_many(PixelDetector(), [synthetic_video, synthetic_video], 0.5)
+    single = track_one(PixelDetector(), synthetic_video, 0.5, "scan")
+    for data in results.values():
+        for col in ["id", "time", "x", "y"]:
+            np.testing.assert_allclose(
+                np.asarray(data[col], float), np.asarray(single[col], float),
+                atol=1e-6, err_msg=col,
+            )

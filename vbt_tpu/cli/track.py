@@ -164,6 +164,77 @@ def render_annotated_video(src: str, tracks: dict, video_path: str, display: boo
     writer.release()
 
 
+def track_many(
+    detector,
+    sources: list[str],
+    detection_treshold: float,
+    batch_size: int = 32,
+    timer=None,
+) -> dict[str, dict]:
+    """Track several videos in ONE compiled program (BASELINE config 4).
+
+    Detections are collected per clip, padded to a common length, and the
+    OC-SORT scan runs vmapped over the clips axis (sharded over the mesh
+    data axis when multiple devices are present). Returns {src: data dict}.
+    """
+    from vbt_tpu.parallel.mesh import make_mesh
+    from vbt_tpu.runtime.batch_runner import pad_clips, shard_clips, track_clips
+    from vbt_tpu.utils.profiling import StageTimer
+
+    import jax
+
+    timer = timer if timer is not None else StageTimer()
+    per_dets, per_valid, metas = [], [], []
+    with timer.stage("decode+detect"):
+        for s in sources:
+            dets, valid, meta = collect_detections(
+                detector, s, detection_treshold, batch_size
+            )
+            per_dets.append(dets)
+            per_valid.append(valid)
+            metas.append(meta)
+
+    cfg = ScanTrackerConfig.ocsort(
+        max_age=MAX_AGE, asso="diou", iou_threshold=0.1, max_tracks=16
+    )
+    with timer.stage("tracker[multi-clip]"):
+        dets, det_valid, frame_valid = pad_clips(per_dets, per_valid)
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            # Pad the clips axis to a device multiple with inert clips.
+            pad = (-len(sources)) % n_dev
+            if pad:
+                dets = np.concatenate([dets, np.zeros_like(dets[:pad])])
+                det_valid = np.concatenate(
+                    [det_valid, np.zeros_like(det_valid[:pad])]
+                )
+                frame_valid = np.concatenate(
+                    [frame_valid, np.zeros_like(frame_valid[:pad])]
+                )
+            mesh = make_mesh()
+            with mesh:
+                dets, det_valid, frame_valid = shard_clips(
+                    mesh, dets, det_valid, frame_valid
+                )
+                out = track_clips(cfg, dets, det_valid, frame_valid)
+        else:
+            out = track_clips(cfg, dets, det_valid, frame_valid)
+
+    results = {}
+    with timer.stage("dataframe"):
+        for i, s in enumerate(sources):
+            t = per_dets[i].shape[0]
+            tracks = {
+                "report": np.asarray(out.report[i][:t]),
+                "box": np.asarray(out.box[i][:t]),
+                "track_id": np.asarray(out.track_id[i][:t]),
+                "conf": np.asarray(out.conf[i][:t]),
+                "dxdy": np.asarray(out.dxdy[i][:t]),
+            }
+            results[s] = tracks_to_data(tracks, metas[i].fps)
+    return results
+
+
 def track_one(
     detector,
     src: str,
@@ -224,8 +295,11 @@ def track_one(
 @click.option("--profile_dir", default=None, show_default=True,
               help="Write a jax.profiler device trace to this directory.")
 @click.option("--timing", is_flag=True, help="Print per-stage wall-clock accounting.")
+@click.option("--multi_clip", is_flag=True,
+              help="Track all SRC videos in one compiled vmapped program, sharded over the device mesh (no per-video video export in this mode).")
 def main(src, model, detection_treshold, display_image_height, df_dir, video_dir,
-         threads, tracker, display, frame_stride, batch_size, profile_dir, timing):
+         threads, tracker, display, frame_stride, batch_size, profile_dir, timing,
+         multi_clip):
     """Visualize the object detection model for barbell tracking on a video
     and create a dataframe containing the detected objects their raw
     and filtered positions and velocities at specific times in the video."""
@@ -248,6 +322,21 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
     timer = StageTimer()
 
     with trace(profile_dir):
+        if multi_clip and len(src) > 1:
+            for s in src:
+                if not os.path.isfile(s):
+                    raise FileNotFoundError()
+            results = track_many(detector, list(src), detection_treshold,
+                                 batch_size=batch_size, timer=timer)
+            if export_df:
+                for s, data in results.items():
+                    if data["id"]:
+                        df = build_track_df(data)
+                        df_filename = build_df_filename(s, max_travel_id(df), model)
+                        df.to_pickle(os.path.join(df_dir, df_filename) if df_dir else df_filename)
+            if timing:
+                print(timer.report())
+            return
         for s in src:
             if not os.path.isfile(s):
                 raise FileNotFoundError()
