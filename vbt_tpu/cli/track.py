@@ -204,12 +204,14 @@ def track_many(
             # Pad the clips axis to a device multiple with inert clips.
             pad = (-len(sources)) % n_dev
             if pad:
-                dets = np.concatenate([dets, np.zeros_like(dets[:pad])])
+                dets = np.concatenate(
+                    [dets, np.zeros((pad, *dets.shape[1:]), dets.dtype)]
+                )
                 det_valid = np.concatenate(
-                    [det_valid, np.zeros_like(det_valid[:pad])]
+                    [det_valid, np.zeros((pad, *det_valid.shape[1:]), bool)]
                 )
                 frame_valid = np.concatenate(
-                    [frame_valid, np.zeros_like(frame_valid[:pad])]
+                    [frame_valid, np.zeros((pad, *frame_valid.shape[1:]), bool)]
                 )
             mesh = make_mesh()
             with mesh:
