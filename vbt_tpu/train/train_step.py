@@ -28,6 +28,7 @@ class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
     opt_state: Any
+    ema_params: Any  # exponential moving average (model-maker uses 0.9998)
 
 
 def make_optimizer(
@@ -71,7 +72,9 @@ class Trainer:
         dtype=jnp.float32,
         mesh=None,
         input_size: int | None = None,
+        ema_decay: float = 0.9998,
     ):
+        self.ema_decay = ema_decay
         self.spec = spec
         self.input_size = input_size or spec.input_size
         self.model = EfficientDet(spec, dtype=dtype)
@@ -99,6 +102,7 @@ class Trainer:
             params=params,
             batch_stats=variables["batch_stats"],
             opt_state=self.tx.init(params),
+            ema_params=params,
         )
 
     def train_step(self, state: TrainState, batch: dict):
@@ -113,8 +117,9 @@ class Trainer:
         """Validation loss (no parameter/batch-stat updates)."""
         return self._eval_loss(state, batch)
 
-    def variables(self, state: TrainState):
-        return {"params": state.params, "batch_stats": state.batch_stats}
+    def variables(self, state: TrainState, use_ema: bool = False):
+        params = state.ema_params if use_ema else state.params
+        return {"params": params, "batch_stats": state.batch_stats}
 
 
 def _train_step_impl(trainer: Trainer, state: TrainState, batch):
@@ -143,6 +148,13 @@ def _train_step_impl(trainer: Trainer, state: TrainState, batch):
     )
     updates, new_opt = trainer.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    # Parameter EMA with warmup-aware decay (min(decay, (1+t)/(10+t)) is the
+    # standard TF-EMA ramp so early steps do not anchor to the random init).
+    t = state.step.astype(jnp.float32)
+    decay = jnp.minimum(trainer.ema_decay, (1.0 + t) / (10.0 + t))
+    new_ema = jax.tree.map(
+        lambda e, p: e * decay + p * (1.0 - decay), state.ema_params, new_params
+    )
     metrics = dict(metrics, lr=trainer.schedule(state.step))
     return (
         TrainState(
@@ -150,6 +162,7 @@ def _train_step_impl(trainer: Trainer, state: TrainState, batch):
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            ema_params=new_ema,
         ),
         metrics,
     )
