@@ -85,3 +85,20 @@ def test_spec_registry_aliases():
     assert get_model_spec("lite1").input_size == 384
     with pytest.raises(KeyError):
         get_model_spec("resnet50")
+
+
+@pytest.mark.parametrize("name,backbone_ch", [
+    ("efficientdet_lite1", 112),
+    ("efficientdet_lite2", 120),
+])
+def test_larger_variants_forward_small_input(name, backbone_ch):
+    # Full 384/448 inputs are slow on CPU; a 128 input still exercises every
+    # block and the level plumbing (P7 = 1x1).
+    spec = get_model_spec(name)
+    model = EfficientDet(spec)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    deltas, logits = model.apply(variables, x, train=False)
+    n = num_anchors(AnchorConfig(input_size=128))
+    assert deltas.shape == (1, n, 4)
+    assert logits.shape == (1, n, 1)
