@@ -40,3 +40,15 @@ def test_checkpoint_roundtrip_through_pipeline(tmp_path):
 def test_resolve_unknown_model():
     with pytest.raises(KeyError):
         resolve_model("yolo_v8.tflite")
+
+
+def test_missing_weights_fail_loudly():
+    """A --model arg with no checkpoint must raise, not track with random
+    weights (VERDICT round 1, weak #3)."""
+    with pytest.raises(FileNotFoundError, match="No trained weights"):
+        DetectionPipeline.from_model_arg("efficientdet_lite0")
+
+
+def test_missing_weights_allow_random_opt_in():
+    pipe = DetectionPipeline.from_model_arg("efficientdet_lite0", allow_random=True)
+    assert pipe.spec.input_size == 320

@@ -123,7 +123,7 @@ def test_real_pipeline_smoke():
     """Random-weight EfficientDet end to end on a tiny frame batch (CPU)."""
     from vbt_tpu.runtime.pipeline import DetectionPipeline
 
-    pipe = DetectionPipeline.from_model_arg("efficientdet_lite0")
+    pipe = DetectionPipeline.from_model_arg("efficientdet_lite0", allow_random=True)
     frames = np.random.default_rng(0).integers(
         0, 255, size=(2, 240, 320, 3), dtype=np.uint8
     )

@@ -2,8 +2,9 @@
 
 The reference's only model artifact is an exported .tflite binary
 (train.py:67); here model variables (params + batch stats) serialize through
-flax's msgpack format, with an orbax-based directory layout for training
-checkpoints (SURVEY.md §5 "Checkpoint / resume").
+flax's msgpack format. Training checkpoints use a hand-rolled directory
+layout — step-numbered msgpack files plus a LATEST marker — kept deliberately
+simple (SURVEY.md §5 "Checkpoint / resume"); no orbax dependency.
 """
 
 from __future__ import annotations
