@@ -15,6 +15,15 @@ video output. Differences by design:
   frame-by-frame Python loop exactly;
 - display (cv2.imshow, track.py:237-246) is behind ``--display`` so headless
   runs work.
+
+Precision note: the scan tracker runs in float32 here (TPU-native; x64 is
+off outside the test suite), so the exported ``dx, dy`` columns carry an
+early-track Kalman transient error (~1e-2, decaying within ~30 frames)
+relative to the reference's float64 filterpy — the huge filterpy-style
+initial covariances cancel catastrophically in f32. Positions/ids are
+unaffected, and nothing downstream consumes df dx/dy (VelocityTracker
+overwrites dy and ignores dx — SURVEY.md §2.1 quirk 2). The float64 lanes
+match the reference bit-for-bit (tests/test_tracker_golden_replay.py).
 """
 
 from __future__ import annotations

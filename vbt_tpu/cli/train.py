@@ -24,8 +24,7 @@ import numpy as np
 from vbt_tpu.models import get_model_spec
 from vbt_tpu.runtime.checkpoint import save_params
 from vbt_tpu.runtime.pipeline import DetectionPipeline
-from vbt_tpu.train.augment import augment_and_normalize
-from vbt_tpu.train.data import batches, load_voc_dataset, raw_batches
+from vbt_tpu.train.data import load_voc_dataset
 from vbt_tpu.train.evaluate import evaluate_model
 from vbt_tpu.train.train_step import Trainer
 
@@ -45,6 +44,7 @@ def train_model(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    mosaic_p: float = 0.5,
 ):
     spec = get_model_spec(architecture)
     size = input_size or spec.input_size
@@ -85,31 +85,31 @@ def train_model(
             start_epoch = latest
             log_fn(f"Resumed from checkpoint at epoch {latest}")
 
+    from vbt_tpu.train.fused import DeviceDataTrainer
+
+    ddt = DeviceDataTrainer(trainer, train_ds, valid_ds, mosaic_p=mosaic_p)
+
     rng = np.random.default_rng(seed + start_epoch)
     aug_key = jax.random.PRNGKey(seed + start_epoch)
     step = start_epoch * steps_per_epoch
     val_losses = []
+    mosaic_cutoff = int(epochs * 0.9)  # mosaic off for the final 10%
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        train_metrics = []
-        for imgs, gt_boxes, gt_valid in raw_batches(train_ds, batch_size, rng):
-            aug_key, sub = jax.random.split(aug_key)
-            images, gt_boxes, gt_valid = augment_and_normalize(
-                imgs, gt_boxes, gt_valid, sub
-            )
-            batch = {"images": images, "gt_boxes": gt_boxes, "gt_valid": gt_valid}
-            state, metrics = trainer.train_step(state, batch)
-            train_metrics.append(metrics)
-            step += 1
-            if max_steps is not None and step >= max_steps:
-                break
+        remaining = None if max_steps is None else max(max_steps - step, 0)
+        state, train_metrics, aug_key = ddt.epoch(
+            state, rng, batch_size, aug_key, max_batches=remaining,
+            mosaic_p=mosaic_p if epoch < mosaic_cutoff else 0.0,
+        )
+        step += len(train_metrics)
 
-        vals = []
-        for batch in batches(valid_ds, min(batch_size, len(valid_ds)), rng, augment=False):
-            vals.append(trainer.eval_loss(state, batch))
-        val_loss = float(np.mean([float(v["loss"]) for v in vals])) if vals else float("nan")
+        val_loss = ddt.val_loss(state)
         val_losses.append(val_loss)
-        train_loss = float(np.mean([float(m["loss"]) for m in train_metrics]))
+        train_loss = (
+            float(np.mean([float(m["loss"]) for m in train_metrics]))
+            if train_metrics
+            else float("nan")
+        )
         log_fn(
             f"Epoch {epoch + 1}/{epochs} - {time.time() - t0:.0f}s - "
             f"loss: {train_loss:.4f} - val_loss: {val_loss:.4f}"
@@ -145,9 +145,11 @@ def train_model(
 @click.option("--checkpoint_every", default=0, type=int, show_default=True,
               help="Checkpoint every N epochs (0 = off).")
 @click.option("--resume", is_flag=True, help="Resume from the latest checkpoint.")
+@click.option("--mosaic_p", default=0.5, type=float, show_default=True,
+              help="Per-image probability of 4-image mosaic augmentation.")
 def main(data_dir, export_dir, architecture, epochs, batch_size,
          train_whole_model, lr, seed, max_steps, checkpoint_dir,
-         checkpoint_every, resume):
+         checkpoint_every, resume, mosaic_p):
     """Train a barbell detector and export it with COCO-style evaluation."""
     from vbt_tpu.utils.cache import enable_persistent_cache
 
@@ -166,7 +168,7 @@ def main(data_dir, export_dir, architecture, epochs, batch_size,
         architecture, data_dir, export_dir, epochs, batch_size,
         train_whole_model, base_lr=lr, seed=seed, max_steps=max_steps,
         log_fn=log_fn, checkpoint_dir=checkpoint_dir,
-        checkpoint_every=checkpoint_every, resume=resume,
+        checkpoint_every=checkpoint_every, resume=resume, mosaic_p=mosaic_p,
     )
 
     print("Evaluating the exported model...")

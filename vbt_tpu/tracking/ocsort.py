@@ -70,21 +70,46 @@ class KalmanBoxTracker:
             self._miss_gap = 0
         self._miss_gap += 1
 
-    def _reupdate(self, det: np.ndarray):
-        """Roll back and replay a virtual trajectory to the new observation."""
+    def _reupdate(self, det: np.ndarray) -> bool:
+        """Roll back and replay a virtual trajectory to the new observation.
+
+        Semantics pinned NUMERICALLY to the real OC-SORT by replay against
+        the golden dataframes (dfs_ocsort/ record the real tracker's
+        kf.x[4:6] per frame, reference track.py:194-199): starting from the
+        post-update state at the last real observation, each missed frame
+        gets a plain predict+update cycle with a virtual observation
+        interpolated linearly in MEASUREMENT space (center x, y, width,
+        height; s=w*h, r=w/h recomputed per step), ending with the
+        re-found frame whose virtual equals the real observation — which is
+        therefore NOT applied again by the caller (returns True when the
+        replay consumed it).
+
+        (The stored frozen state is the post-predict state of the first
+        missed frame, i.e. post-update-at-T plus one predict, so the loop
+        below runs update-then-predict; the two formulations are the same
+        sequence.)
+        """
         if self._frozen is None or self.last_observation[4] < 0:
-            return
+            return False
         self.x, self.p = self._frozen
-        start = self.last_observation[:4]
-        end = det[:4]
+        x1, y1, s1, r1 = bbox_to_z(self.last_observation[:4])
+        x2, y2, s2, r2 = bbox_to_z(det[:4])
+        w1, h1 = np.sqrt(s1 * r1), np.sqrt(s1 / r1)
+        w2, h2 = np.sqrt(s2 * r2), np.sqrt(s2 / r2)
         gap = self._miss_gap + 1  # frames between the two real observations
-        for k in range(1, gap):
-            virtual = start + (end - start) * (k / gap)
-            self.x, self.p = kf_predict(self.x, self.p)
-            self.x, self.p = kf_update(self.x, self.p, bbox_to_z(virtual))
-        self.x, self.p = kf_predict(self.x, self.p)
+        for i in range(gap):
+            f = (i + 1) / gap
+            w = w1 + f * (w2 - w1)
+            h = h1 + f * (h2 - h1)
+            virtual = np.array(
+                [x1 + f * (x2 - x1), y1 + f * (y2 - y1), w * h, w / h]
+            )
+            self.x, self.p = kf_update(self.x, self.p, virtual)
+            if i != gap - 1:
+                self.x, self.p = kf_predict(self.x, self.p)
         self._frozen = None
         self._miss_gap = 0
+        return True
 
     # -- SORT lifecycle ------------------------------------------------------
     def predict(self) -> np.ndarray:
@@ -99,8 +124,9 @@ class KalmanBoxTracker:
         if det is None:
             self._freeze()
             return
+        replayed = False
         if self.time_since_update > 1:
-            self._reupdate(det)
+            replayed = self._reupdate(det)
 
         if self.last_observation[4] >= 0:
             # OCM velocity: direction from the observation delta_t frames
@@ -126,7 +152,8 @@ class KalmanBoxTracker:
         self.hit_streak += 1
         self._frozen = None
         self._miss_gap = 0
-        self.x, self.p = kf_update(self.x, self.p, bbox_to_z(det[:4]))
+        if not replayed:
+            self.x, self.p = kf_update(self.x, self.p, bbox_to_z(det[:4]))
 
     def get_state(self) -> np.ndarray:
         return state_bbox(self.x)
@@ -139,7 +166,11 @@ class OCSort:
         self,
         det_thresh: float = 0.0,
         max_age: int = 30,
-        min_hits: int = 3,
+        # min_hits=1 pinned by golden replay: dfs_ocsort/ rows appear from a
+        # track's SECOND consecutive hit (and immediately on re-find), while
+        # never-re-matched births leave no rows — exactly min_hits=1
+        # (tests/test_tracker_golden_replay.py).
+        min_hits: int = 1,
         iou_threshold: float = 0.3,
         delta_t: int = 3,
         asso_func: str = "iou",

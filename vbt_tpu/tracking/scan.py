@@ -51,7 +51,9 @@ class ScanTrackerConfig(NamedTuple):
     report_observation: bool = False  # OC-SORT reports last obs, SORT the KF state
 
     @classmethod
-    def sort(cls, max_age=1, min_hits=3, iou_threshold=0.3, max_tracks=16):
+    # min_hits=1 in both factories: pinned by golden replay against the real
+    # reference outputs (tests/test_tracker_golden_replay.py).
+    def sort(cls, max_age=1, min_hits=1, iou_threshold=0.3, max_tracks=16):
         return cls(
             max_tracks=max_tracks,
             max_age=max_age,
@@ -64,7 +66,7 @@ class ScanTrackerConfig(NamedTuple):
     def ocsort(
         cls,
         max_age=30,
-        min_hits=3,
+        min_hits=1,
         iou_threshold=0.3,
         asso="iou",
         inertia=0.2,
@@ -263,27 +265,51 @@ def tracker_step(cfg: ScanTrackerConfig, st: TrackerState, dets, det_valid):
     det_for_slot = dets[jnp.maximum(slot_det, 0)]  # (S, 6)
 
     # ---- ORU: rollback + virtual trajectory replay ---------------------------
+    # Semantics pinned numerically to the real OC-SORT via golden-df replay
+    # (see ocsort.py KalmanBoxTracker._reupdate): from the frozen post-predict
+    # state of the first missed frame, run update-then-predict cycles with
+    # virtual observations interpolated linearly in MEASUREMENT space
+    # (center x, y, width, height); the final virtual equals the real
+    # observation and CONSUMES it — replayed slots skip the regular
+    # measurement update below.
+    oru = jnp.zeros((S,), bool)
     if cfg.use_reupdate:
         oru = slot_matched & st.has_frozen & (st.tsu > 1) & (st.last_obs[:, 4] >= 0)
         x_r = jnp.where(oru[:, None], st.frozen_x, st.x)
         p_r = _masked(oru, st.frozen_p, st.p)
-        start = st.last_obs[:, :4]
-        end = det_for_slot[:, :4]
+        z1 = bbox_to_z(st.last_obs[:, :4], jnp)  # (S, 4) [x, y, s, r]
+        z2 = bbox_to_z(det_for_slot[:, :4], jnp)
+        w1 = jnp.sqrt(z1[:, 2] * z1[:, 3])
+        h1 = jnp.sqrt(z1[:, 2] / z1[:, 3])
+        w2 = jnp.sqrt(z2[:, 2] * z2[:, 3])
+        h2 = jnp.sqrt(z2[:, 2] / z2[:, 3])
         gap = (st.miss_gap + 1).astype(dtype)
 
         def replay(k, carry):
             x_r, p_r = carry
-            active = oru & (k < st.miss_gap + 1)
-            frac = (k.astype(dtype) / gap)[:, None]  # (S, 1)
-            virtual = start + (end - start) * frac
-            xk, pk = kf_predict(x_r, p_r, jnp)
-            xk, pk = kf_update(xk, pk, bbox_to_z(virtual, jnp), jnp)
+            active = oru & (k <= st.miss_gap + 1)
+            frac = k.astype(dtype) / gap  # (S,)
+            w = w1 + frac * (w2 - w1)
+            h = h1 + frac * (h2 - h1)
+            virtual_z = jnp.stack(
+                [
+                    z1[:, 0] + frac * (z2[:, 0] - z1[:, 0]),
+                    z1[:, 1] + frac * (z2[:, 1] - z1[:, 1]),
+                    w * h,
+                    w / h,
+                ],
+                axis=-1,
+            )
+            xu, pu = kf_update(x_r, p_r, virtual_z, jnp)
+            xp, pp_ = kf_predict(xu, pu, jnp)
+            not_last = (k < st.miss_gap + 1)[:, None]
+            xk = jnp.where(not_last, xp, xu)
+            pk = jnp.where(not_last[:, :, None], pp_, pu)
             return _masked(active, xk, x_r), _masked(active, pk, p_r)
 
-        x_r, p_r = jax.lax.fori_loop(1, cfg.max_age + 1, replay, (x_r, p_r))
-        xf, pf = kf_predict(x_r, p_r, jnp)
+        x_r, p_r = jax.lax.fori_loop(1, cfg.max_age + 2, replay, (x_r, p_r))
         st = st._replace(
-            x=_masked(oru, xf, st.x), p=_masked(oru, pf, st.p)
+            x=_masked(oru, x_r, st.x), p=_masked(oru, p_r, st.p)
         )
 
     # ---- OCM velocity + observation bookkeeping ------------------------------
@@ -314,11 +340,11 @@ def tracker_step(cfg: ScanTrackerConfig, st: TrackerState, dets, det_valid):
         st.ring_age,
     )
 
-    # ---- measurement update ----------------------------------------------------
+    # ---- measurement update (ORU-replayed slots already consumed it) -----------
     x_u, p_u = kf_update(st.x, st.p, bbox_to_z(det_for_slot[:, :4], jnp), jnp)
     st = st._replace(
-        x=_masked(slot_matched, x_u, st.x),
-        p=_masked(slot_matched, p_u, st.p),
+        x=_masked(slot_matched & ~oru, x_u, st.x),
+        p=_masked(slot_matched & ~oru, p_u, st.p),
         tsu=jnp.where(slot_matched, 0, st.tsu),
         hits=jnp.where(slot_matched, st.hits + 1, st.hits),
         hit_streak=jnp.where(slot_matched, st.hit_streak + 1, st.hit_streak),

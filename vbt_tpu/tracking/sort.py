@@ -101,7 +101,9 @@ def associate_iou(dets: np.ndarray, trks: np.ndarray, iou_threshold: float):
 class SortTracker:
     """Frame-by-frame SORT with max_age pruning and min_hits warmup."""
 
-    def __init__(self, max_age: int = 1, min_hits: int = 3, iou_threshold: float = 0.3):
+    # min_hits=1 pinned by golden replay against dfs/ (11 clips bit-exact,
+    # tests/test_tracker_golden_replay.py); min_hits=3 loses birth/re-find rows.
+    def __init__(self, max_age: int = 1, min_hits: int = 1, iou_threshold: float = 0.3):
         self.max_age = max_age
         self.min_hits = min_hits
         self.iou_threshold = iou_threshold
