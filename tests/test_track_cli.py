@@ -119,6 +119,19 @@ def test_scan_and_host_trackers_agree(synthetic_video):
     )
 
 
+def test_time_shard_cli_equals_default(synthetic_video):
+    """--time_shard output is bit-equal to the plain scan at the CLI level
+    (8-device CPU mesh; vbt_tpu.parallel.time_shard)."""
+    det = PixelDetector()
+    plain = track_one(det, synthetic_video, 0.5, tracker_kind="scan")
+    sharded = track_one(
+        det, synthetic_video, 0.5, tracker_kind="scan", time_shard=True
+    )
+    assert plain["id"] == sharded["id"]
+    for col in ("time", "x", "y", "dx", "dy"):
+        np.testing.assert_allclose(plain[col], sharded[col], atol=1e-12)
+
+
 def test_real_pipeline_smoke():
     """Random-weight EfficientDet end to end on a tiny frame batch (CPU)."""
     from vbt_tpu.runtime.pipeline import DetectionPipeline

@@ -61,14 +61,25 @@ def collect_detections(detector, src: str, threshold: float, batch_size: int = 3
     return np.concatenate(all_rows), np.concatenate(all_valid), reader.meta
 
 
-def run_scan_tracker(dets: np.ndarray, valid: np.ndarray):
+def run_scan_tracker(dets: np.ndarray, valid: np.ndarray, time_shard: bool = False):
     """Pass 2: one compiled scan over the frame axis (OC-SORT semantics,
     reference configuration: max_age=30, diou, iou_threshold=0.1,
-    track.py:157)."""
+    track.py:157). With ``time_shard``, the frame axis is sharded over the
+    device mesh and the tracker carry ppermutes across chips at chunk
+    boundaries (vbt_tpu.parallel.time_shard) — bit-equal output."""
     cfg = ScanTrackerConfig.ocsort(
         max_age=MAX_AGE, asso="diou", iou_threshold=0.1, max_tracks=16
     )
-    out = track_video(cfg, dets, valid)
+    if time_shard:
+        import jax
+
+        from vbt_tpu.parallel.mesh import make_mesh
+        from vbt_tpu.parallel.time_shard import track_video_time_sharded
+
+        mesh = make_mesh(len(jax.devices()))
+        out = track_video_time_sharded(cfg, dets, valid, mesh)
+    else:
+        out = track_video(cfg, dets, valid)
     return {
         "report": np.asarray(out.report),
         "box": np.asarray(out.box),
@@ -256,6 +267,7 @@ def track_one(
     frame_stride: int = 1,
     batch_size: int = 32,
     timer=None,
+    time_shard: bool = False,
 ) -> dict:
     from vbt_tpu.utils.profiling import StageTimer
 
@@ -270,9 +282,11 @@ def track_one(
         idx = np.arange(dets.shape[0])
         keep = (idx + 1) % frame_stride == 0
         dets, valid = dets[keep], valid[keep]
-    runner = run_scan_tracker if tracker_kind == "scan" else run_host_tracker
     with timer.stage(f"tracker[{tracker_kind}]"):
-        tracks = runner(dets, valid)
+        if tracker_kind == "scan":
+            tracks = run_scan_tracker(dets, valid, time_shard=time_shard)
+        else:
+            tracks = run_host_tracker(dets, valid)
     if video_path is not None:
         with timer.stage("annotate+encode"):
             render_annotated_video(src, tracks, video_path, display)
@@ -308,9 +322,11 @@ def track_one(
 @click.option("--timing", is_flag=True, help="Print per-stage wall-clock accounting.")
 @click.option("--multi_clip", is_flag=True,
               help="Track all SRC videos in one compiled vmapped program, sharded over the device mesh (no per-video video export in this mode).")
+@click.option("--time_shard", is_flag=True,
+              help="Shard each video's frame axis over the device mesh; the tracker carry ppermutes across chips at chunk boundaries (bit-equal output).")
 def main(src, model, detection_treshold, display_image_height, df_dir, video_dir,
          threads, tracker, display, frame_stride, batch_size, profile_dir, timing,
-         multi_clip):
+         multi_clip, time_shard):
     """Visualize the object detection model for barbell tracking on a video
     and create a dataframe containing the detected objects their raw
     and filtered positions and velocities at specific times in the video."""
@@ -361,7 +377,7 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
                 detector, s, detection_treshold,
                 tracker_kind=tracker, video_path=video_path,
                 display=display, frame_stride=frame_stride, batch_size=batch_size,
-                timer=timer,
+                timer=timer, time_shard=time_shard,
             )
 
             if export_df and data["id"]:
