@@ -65,7 +65,7 @@ def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, floa
     return min(rates), float(np.median(rates))
 
 
-def main():
+def main(int8: bool = False):
     from vbt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -85,6 +85,11 @@ def main():
     )
 
     rng = np.random.default_rng(0)
+    if int8:
+        calib = rng.integers(
+            0, 255, size=(8, spec.input_size, spec.input_size, 3)
+        ).astype(np.uint8)
+        pipeline = pipeline.calibrate(calib)
     # Distinct frame batches so backend result-caching cannot flatter us.
     batches = [
         jnp.asarray(
@@ -123,10 +128,13 @@ def main():
         flops_per_batch = 2 * 0.876e9 * BATCH  # lite0 GMACs (reference logs)
     mfu = flops_per_batch / fwd_median_spi / V5E_PEAK_BF16 if on_tpu else None
 
+    metric = "efficientdet_lite0_320_detection_throughput"
+    if int8:
+        metric += "_int8"
     print(
         json.dumps(
             {
-                "metric": "efficientdet_lite0_320_detection_throughput",
+                "metric": metric,
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
@@ -139,4 +147,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(int8="--int8" in sys.argv)

@@ -17,6 +17,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vbt_tpu.models.quant import OFF, QuantConv
+
 MIN_LEVEL = 3
 MAX_LEVEL = 7
 
@@ -43,9 +45,9 @@ class SepConvBN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, quant: str = OFF):
         in_ch = x.shape[-1]
-        x = nn.Conv(
+        x = QuantConv(
             in_ch,
             (3, 3),
             padding="SAME",
@@ -53,8 +55,8 @@ class SepConvBN(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="depthwise",
-        )(x)
-        x = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="pointwise")(x)
+        )(x, quant=quant)
+        x = QuantConv(self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="pointwise")(x, quant=quant)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3, dtype=self.dtype
         )(x)
@@ -68,9 +70,13 @@ class ChannelResample(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, quant: str = OFF):
         if x.shape[-1] != self.channels:
-            x = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype)(x)
+            # name='Conv_0' keeps the auto-name nn.Conv produced, so float
+            # checkpoints saved before QuantConv existed still load.
+            x = QuantConv(
+                self.channels, (1, 1), use_bias=True, dtype=self.dtype, name="Conv_0"
+            )(x, quant=quant)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3, dtype=self.dtype
             )(x)
@@ -86,7 +92,7 @@ class FuseNode(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, inputs: list[jnp.ndarray], train: bool):
+    def __call__(self, inputs: list[jnp.ndarray], train: bool, quant: str = OFF):
         assert len(inputs) == self.num_inputs
         if self.weight_method == "fastattn":
             w = self.param("fusion_weights", nn.initializers.ones, (self.num_inputs,))
@@ -96,7 +102,7 @@ class FuseNode(nn.Module):
         else:  # 'sum' — the lite default
             x = sum(inputs)
         x = nn.relu6(x)
-        return SepConvBN(self.channels, dtype=self.dtype, name="conv")(x, train)
+        return SepConvBN(self.channels, dtype=self.dtype, name="conv")(x, train, quant)
 
 
 class BiFPNCell(nn.Module):
@@ -107,7 +113,7 @@ class BiFPNCell(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: dict[int, jnp.ndarray], train: bool):
+    def __call__(self, feats: dict[int, jnp.ndarray], train: bool, quant: str = OFF):
         levels = list(range(MIN_LEVEL, MAX_LEVEL + 1))
 
         # Top-down: P6' = node(P6, up(P7)), ..., P3' = node(P3, up(P4'))
@@ -116,7 +122,7 @@ class BiFPNCell(nn.Module):
             up = _upsample2x(td[lv + 1], feats[lv].shape[1:3])
             td[lv] = FuseNode(
                 self.channels, 2, self.weight_method, self.dtype, name=f"td_p{lv}"
-            )([feats[lv], up], train)
+            )([feats[lv], up], train, quant)
 
         # Bottom-up: P4out = node(P4, P4', down(P3out)), ...,
         # P7out = node(P7, down(P6out)).
@@ -129,7 +135,7 @@ class BiFPNCell(nn.Module):
                 inputs = [feats[lv], td[lv], down]
             out[lv] = FuseNode(
                 self.channels, len(inputs), self.weight_method, self.dtype, name=f"bu_p{lv}"
-            )(inputs, train)
+            )(inputs, train, quant)
         return out
 
 
@@ -142,17 +148,18 @@ class BiFPN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, backbone_feats: dict[int, jnp.ndarray], train: bool = False):
+    def __call__(self, backbone_feats: dict[int, jnp.ndarray], train: bool = False,
+                 quant: str = OFF):
         feats = {
             lv: ChannelResample(self.channels, dtype=self.dtype, name=f"lateral_p{lv}")(
-                backbone_feats[lv], train
+                backbone_feats[lv], train, quant
             )
             for lv in (3, 4, 5)
         }
         # P6 from C5: channel resample happens above only for p3-p5; build P6/P7
         # from the original C5 via conv+BN then strided pooling.
         p6 = ChannelResample(self.channels, dtype=self.dtype, name="lateral_p6")(
-            backbone_feats[5], train
+            backbone_feats[5], train, quant
         )
         feats[6] = _downsample2x(p6)
         feats[7] = _downsample2x(feats[6])
@@ -160,5 +167,5 @@ class BiFPN(nn.Module):
         for r in range(self.repeats):
             feats = BiFPNCell(
                 self.channels, self.weight_method, self.dtype, name=f"cell{r}"
-            )(feats, train)
+            )(feats, train, quant)
         return feats

@@ -69,9 +69,9 @@ class EfficientDet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False):
+    def __call__(self, images: jnp.ndarray, train: bool = False, quant: str = "off"):
         feats = EfficientNetLite(self.spec.backbone, dtype=self.dtype, name="backbone")(
-            images, train
+            images, train, quant
         )
         feats = BiFPN(
             self.spec.fpn_channels,
@@ -79,7 +79,7 @@ class EfficientDet(nn.Module):
             weight_method="sum",
             dtype=self.dtype,
             name="fpn",
-        )(feats, train)
+        )(feats, train, quant)
 
         box_maps = PredictionHead(
             out_per_anchor=4,
@@ -88,7 +88,7 @@ class EfficientDet(nn.Module):
             repeats=self.spec.head_repeats,
             dtype=self.dtype,
             name="box_net",
-        )(feats, train)
+        )(feats, train, quant)
         cls_maps = PredictionHead(
             out_per_anchor=self.spec.num_classes,
             num_anchors=ANCHORS_PER_CELL,
@@ -97,7 +97,7 @@ class EfficientDet(nn.Module):
             dtype=self.dtype,
             final_bias_prior=0.01,
             name="class_net",
-        )(feats, train)
+        )(feats, train, quant)
 
         def flatten(maps: dict[int, jnp.ndarray], per_anchor: int) -> jnp.ndarray:
             parts = []

@@ -21,6 +21,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vbt_tpu.models.quant import OFF, QuantConv
+
 
 @dataclass(frozen=True)
 class MBConvArgs:
@@ -116,8 +118,8 @@ class EfficientNetLite(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> dict[int, jnp.ndarray]:
-        x = nn.Conv(
+    def __call__(self, x, train: bool = False, quant: str = OFF) -> dict[int, jnp.ndarray]:
+        x = QuantConv(
             STEM_CHANNELS,
             (3, 3),
             strides=(2, 2),
@@ -125,7 +127,7 @@ class EfficientNetLite(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="stem",
-        )(x)
+        )(x, quant=quant)
         x = BatchNormAct(dtype=self.dtype, name="stem_bn")(x, train)
 
         blocks = scaled_blocks(self.variant)
@@ -142,7 +144,7 @@ class EfficientNetLite(nn.Module):
                     stride=stride,
                     dtype=self.dtype,
                     name=f"g{gi}_b{ri}",
-                )(x, train)
+                )(x, train, quant)
             if gi in taps:
                 features[taps[gi]] = x
         return features
@@ -156,17 +158,17 @@ class MBConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, quant: str = OFF):
         inputs = x
         in_ch = x.shape[-1]
         mid = in_ch * self.args.expand
 
         if self.args.expand != 1:
-            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="expand")(x)
+            x = QuantConv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="expand")(x, quant=quant)
             x = BatchNormAct(dtype=self.dtype, name="expand_bn")(x, train)
 
         k = self.args.kernel
-        x = nn.Conv(
+        x = QuantConv(
             mid,
             (k, k),
             strides=(self.stride, self.stride),
@@ -175,10 +177,10 @@ class MBConvBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="depthwise",
-        )(x)
+        )(x, quant=quant)
         x = BatchNormAct(dtype=self.dtype, name="depthwise_bn")(x, train)
 
-        x = nn.Conv(self.args.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project")(x)
+        x = QuantConv(self.args.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project")(x, quant=quant)
         x = BatchNormAct(act=False, dtype=self.dtype, name="project_bn")(x, train)
 
         if self.stride == 1 and in_ch == self.args.out_ch:

@@ -16,6 +16,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vbt_tpu.models.quant import OFF, QuantConv
+
 
 class _SharedSepConv(nn.Module):
     """Separable conv with weights shared across levels (no BN inside)."""
@@ -25,9 +27,9 @@ class _SharedSepConv(nn.Module):
     bias_init: Any = nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, quant: str = OFF):
         in_ch = x.shape[-1]
-        x = nn.Conv(
+        x = QuantConv(
             in_ch,
             (3, 3),
             padding="SAME",
@@ -35,15 +37,15 @@ class _SharedSepConv(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="depthwise",
-        )(x)
-        return nn.Conv(
+        )(x, quant=quant)
+        return QuantConv(
             self.channels,
             (1, 1),
             use_bias=True,
             bias_init=self.bias_init,
             dtype=self.dtype,
             name="pointwise",
-        )(x)
+        )(x, quant=quant)
 
 
 class PredictionHead(nn.Module):
@@ -57,7 +59,8 @@ class PredictionHead(nn.Module):
     final_bias_prior: float | None = None  # class prior p, or None
 
     @nn.compact
-    def __call__(self, feats: dict[int, jnp.ndarray], train: bool = False):
+    def __call__(self, feats: dict[int, jnp.ndarray], train: bool = False,
+                 quant: str = OFF):
         levels = sorted(feats)
         convs = [
             _SharedSepConv(self.channels, dtype=self.dtype, name=f"conv{i}")
@@ -79,7 +82,7 @@ class PredictionHead(nn.Module):
         for lv in levels:
             x = feats[lv]
             for i, conv in enumerate(convs):
-                x = conv(x)
+                x = conv(x, quant)
                 # Per-level BatchNorm (weights not shared across levels).
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -89,5 +92,5 @@ class PredictionHead(nn.Module):
                     name=f"bn{i}_p{lv}",
                 )(x)
                 x = nn.relu6(x)
-            outputs[lv] = final(x)
+            outputs[lv] = final(x, quant)
         return outputs

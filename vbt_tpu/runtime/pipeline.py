@@ -50,12 +50,19 @@ def resolve_model(model: str) -> tuple[ModelSpec, str | None]:
 
 @dataclass
 class DetectionPipeline:
-    """Holds a model spec + variables and exposes jitted batch detection."""
+    """Holds a model spec + variables and exposes jitted batch detection.
+
+    ``quant='int8'`` runs dense convolutions as s8 x s8 -> s32 MXU ops
+    (2x bf16 peak on v5e) using activation scales from a prior
+    :meth:`calibrate` pass — the TPU-native replacement for the
+    reference's post-training-int8 .tflite artifact (train.py:67).
+    """
 
     spec: ModelSpec
     variables: Any
     use_pallas: bool = True
     dtype: Any = jnp.float32
+    quant: str = "off"
     anchors: np.ndarray = field(init=False)
 
     def __post_init__(self):
@@ -104,7 +111,25 @@ class DetectionPipeline:
     # -- inference ------------------------------------------------------------
     def _forward_impl(self, variables, frames):
         images = preprocess_frames(frames, self.spec.input_size, dtype=self.dtype)
-        return self._model.apply(variables, images, train=False)
+        return self._model.apply(variables, images, train=False, quant=self.quant)
+
+    # -- int8 ----------------------------------------------------------------
+    def calibrate(self, frames: np.ndarray) -> "DetectionPipeline":
+        """Collect per-conv activation scales from uint8 calibration frames
+        and return a new pipeline running the int8 inference path."""
+        images = preprocess_frames(
+            jnp.asarray(frames), self.spec.input_size, dtype=self.dtype
+        )
+        base = {k: v for k, v in self.variables.items() if k != "quant"}
+        _, mutated = self._model.apply(
+            self.variables, images, train=False, quant="calibrate",
+            mutable=["quant"],
+        )
+        variables = {**base, "quant": mutated["quant"]}
+        return DetectionPipeline(
+            spec=self.spec, variables=variables, use_pallas=self.use_pallas,
+            dtype=self.dtype, quant="int8",
+        )
 
     def _post_impl(self, deltas, logits, score_threshold: float = 0.0):
         anchors = jnp.asarray(self.anchors)
