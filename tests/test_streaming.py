@@ -67,3 +67,36 @@ def test_streaming_phases_midway_monotone(reference_root):
     want = _batch_phases(df)
     assert counts[-1] == len(want)
     assert counts[0] <= counts[-1]
+
+
+def test_scan_smoother_matches_host_oracle():
+    """The fused device smoother (analysis/smoother_scan.py) reproduces the
+    host _CausalSmoother (plot.py rolling/expanding + shared-30-ring +
+    dy-override semantics) sample for sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from vbt_tpu.analysis.smoother_scan import initial_smoother, smoother_step
+    from vbt_tpu.runtime.streaming import _CausalSmoother
+
+    rng = np.random.default_rng(7)
+    n = 120
+    xs = rng.uniform(0.2, 0.8, n)
+    ys = rng.uniform(0.2, 0.8, n)
+    dys = rng.normal(0, 0.01, n)
+    hs = rng.uniform(0.1, 0.2, n)
+    ws = rng.uniform(0.2, 0.3, n)
+
+    host = _CausalSmoother()
+    expected = np.array(
+        [host.push(xs[i], ys[i], dys[i], hs[i], ws[i]) for i in range(n)]
+    )
+
+    carry = initial_smoother(jnp.float64)
+    _, out = jax.lax.scan(
+        smoother_step,
+        carry,
+        tuple(jnp.asarray(a, jnp.float64) for a in (xs, ys, dys, hs, ws)),
+    )
+    got = np.stack([np.asarray(o) for o in out], axis=1)
+    np.testing.assert_allclose(got, expected, atol=1e-12)

@@ -8,9 +8,11 @@ scan + one velocity scan on device (the same compiled step functions as the
 batch path, which is what makes streaming results *identical* to offline
 analysis).
 
-Host keeps only the tiny causal smoothing state for the followed track
-(rolling-5 windows, expanding sums, the shared 30-sample plate window —
-plot.py:90-95 / VelocityTracker.py:44-45 semantics).
+The causal smoothing (rolling-5 windows, expanding sums, the shared
+30-sample plate window — plot.py:90-95 / VelocityTracker.py:44-45
+semantics) runs fused with the phase state machine in the same device scan
+(:mod:`vbt_tpu.analysis.smoother_scan`); the host keeps no per-sample
+loops. ``_CausalSmoother`` remains as the float64 host oracle for tests.
 """
 
 from __future__ import annotations
@@ -63,6 +65,29 @@ def velocity_chunk(plate_diameter, carry: VelocityCarry, inputs):
     return jax.lax.scan(
         functools.partial(velocity_step, plate_diameter), carry, inputs
     )
+
+
+@jax.jit
+def analysis_chunk(plate_diameter, smoother, carry: VelocityCarry, inputs):
+    """Smoothing + phase state machine fused in ONE device scan.
+
+    ``inputs`` = (time, x, y, dy_raw, nph, npw) arrays of one chunk.
+    """
+    from vbt_tpu.analysis.smoother_scan import smoother_step
+
+    def step(state, inp):
+        sm, vc = state
+        t, x, y, dy, nph, npw = inp
+        sm, (x_s, y_s, dy_eff, w_ra, h_ra) = smoother_step(
+            sm, (x, y, dy, nph, npw)
+        )
+        vc, ev = velocity_step(
+            plate_diameter, vc, (t, dy_eff, x_s, y_s, w_ra, h_ra)
+        )
+        return (sm, vc), ev
+
+    (sm, vc), events = jax.lax.scan(step, (smoother, carry), inputs)
+    return sm, vc, events
 
 
 class _CausalSmoother:
@@ -126,26 +151,27 @@ class StreamingAnalyzer:
     min_distance: float = 0.1
     dtype: object = jnp.float64
 
-    _smoother: _CausalSmoother = field(default_factory=_CausalSmoother)
     _carry: VelocityCarry | None = None
     _events: list = field(default_factory=list)
 
     def __post_init__(self):
+        from vbt_tpu.analysis.smoother_scan import initial_smoother
+
         self._carry = initial_carry(self.dtype)
+        self._smoother = initial_smoother(self.dtype)
         self._pd = jnp.asarray(self.plate_diameter, self.dtype)
 
     def push_chunk(self, time, x, y, dy, nph, npw) -> None:
         n = len(time)
         if n == 0:
             return
-        cols = np.zeros((6, n), np.float64)
-        for i in range(n):
-            x_s, y_s, dy_eff, w_ra, h_ra = self._smoother.push(
-                float(x[i]), float(y[i]), float(dy[i]), float(nph[i]), float(npw[i])
-            )
-            cols[:, i] = (time[i], dy_eff, x_s, y_s, w_ra, h_ra)
-        inputs = tuple(jnp.asarray(c, self.dtype) for c in cols)
-        self._carry, events = velocity_chunk(self._pd, self._carry, inputs)
+        inputs = tuple(
+            jnp.asarray(np.asarray(c, np.float64), self.dtype)
+            for c in (time, x, y, dy, nph, npw)
+        )
+        self._smoother, self._carry, events = analysis_chunk(
+            self._pd, self._smoother, self._carry, inputs
+        )
         fired = np.asarray(events.fired)
         if fired.any():
             host = {k: np.asarray(v) for k, v in events._asdict().items()}
