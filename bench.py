@@ -56,12 +56,18 @@ def _timed_forward(pipeline, batches, iters) -> float:
 
 
 def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, float]:
-    """(best, median) marginal seconds/iteration between short and long runs."""
+    """(best, median) marginal seconds/iteration between short and long runs.
+
+    A tunnel hiccup inside the SHORT run can make a trial's marginal rate
+    collapse toward zero (or negative) — exactly the overstatement failure
+    this methodology exists to prevent — so non-positive trials are
+    discarded and the MEDIAN is the headline; best is auxiliary."""
     rates = []
     for _ in range(TRIALS):
         t_short = timed_fn(pipeline, batches, N_SHORT)
         t_long = timed_fn(pipeline, batches, N_LONG)
         rates.append((t_long - t_short) / (N_LONG - N_SHORT))
+    rates = [r for r in rates if r > 0] or [float("inf")]
     return min(rates), float(np.median(rates))
 
 
@@ -110,14 +116,15 @@ def main(int8: bool = False):
         _timed_forward, pipeline, batches
     )
 
-    fps = BATCH / best_spi
+    best_fps = BATCH / best_spi
     median_fps = BATCH / median_spi
+    fps = median_fps  # headline: median (defensible under tunnel hiccups)
     fwd_ms = fwd_median_spi * 1e3
 
-    # MFU from XLA's own cost analysis of the compiled forward program.
+    # MFU from XLA's own cost analysis of the already-compiled forward.
     try:
         ca = (
-            jax.jit(pipeline._forward_impl)
+            pipeline._forward
             .lower(pipeline.variables, batches[0])
             .compile()
             .cost_analysis()
@@ -138,7 +145,7 @@ def main(int8: bool = False):
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
-                "median_fps": round(median_fps, 1),
+                "best_fps": round(best_fps, 1),
                 "forward_ms_per_batch": round(fwd_ms, 3),
                 "mfu": round(mfu, 4) if mfu is not None else None,
             }

@@ -32,7 +32,6 @@ def marginal_ms(fn, *args):
         out = None
         for _ in range(iters):
             out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
         _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         return time.perf_counter() - t0
 

@@ -126,15 +126,21 @@ class QuantConv(nn.Module):
 
 def calibrate(model, variables, batches) -> Any:
     """Run calibration batches through the model; returns variables with a
-    populated ``quant`` collection (activation max-abs per dense conv)."""
-    quant_vars = {}
+    populated ``quant`` collection (activation max-abs per dense conv).
+
+    Each batch runs as ONE jitted program (eager per-op dispatch on TPU
+    backends is minutes-slow); successive batches take the running max.
+    """
+
+    @jax.jit
+    def one_batch(variables, images):
+        return model.apply(
+            variables, images, train=False, quant=CALIBRATE, mutable=["quant"]
+        )[1]["quant"]
+
+    base = {k: v for k, v in variables.items() if k != "quant"}
+    quant_vars = None
     for images in batches:
-        _, mutated = model.apply(
-            {**variables, "quant": quant_vars} if quant_vars else variables,
-            images,
-            train=False,
-            quant=CALIBRATE,
-            mutable=["quant"],
-        )
-        quant_vars = jax.tree.map(jnp.asarray, mutated["quant"])
-    return {**variables, "quant": quant_vars}
+        v = {**base, "quant": quant_vars} if quant_vars is not None else base
+        quant_vars = one_batch(v, images)
+    return {**base, "quant": quant_vars}

@@ -31,25 +31,15 @@ from vbt_tpu.tracking.scan import (
     FrameTracks,
     ScanTrackerConfig,
     init_state,
-    tracker_step,
+    make_scan_step,
 )
 
 
 def _chunk_scan(cfg, st, dets_local, valid_local, skip_empty_frames):
     """Advance the tracker across this chip's frame chunk (a lax.scan)."""
-
-    def step(st, inp):
-        d, v = inp
-        new_st, out = tracker_step(cfg, st, d, v)
-        if skip_empty_frames:
-            active = v.any()
-            new_st = jax.tree.map(
-                lambda a, b: jnp.where(active, a, b), new_st, st
-            )
-            out = out._replace(report=out.report & active)
-        return new_st, out
-
-    return jax.lax.scan(step, st, (dets_local, valid_local))
+    return jax.lax.scan(
+        make_scan_step(cfg, skip_empty_frames), st, (dets_local, valid_local)
+    )
 
 
 @functools.partial(

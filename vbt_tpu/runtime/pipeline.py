@@ -117,15 +117,16 @@ class DetectionPipeline:
     def calibrate(self, frames: np.ndarray) -> "DetectionPipeline":
         """Collect per-conv activation scales from uint8 calibration frames
         and return a new pipeline running the int8 inference path."""
-        images = preprocess_frames(
-            jnp.asarray(frames), self.spec.input_size, dtype=self.dtype
-        )
-        base = {k: v for k, v in self.variables.items() if k != "quant"}
-        _, mutated = self._model.apply(
-            self.variables, images, train=False, quant="calibrate",
-            mutable=["quant"],
-        )
-        variables = {**base, "quant": mutated["quant"]}
+        from vbt_tpu.models.quant import calibrate as calibrate_quant
+
+        images = jax.jit(
+            functools.partial(
+                preprocess_frames,
+                input_size=self.spec.input_size,
+                dtype=self.dtype,
+            )
+        )(jnp.asarray(frames))
+        variables = calibrate_quant(self._model, self.variables, [images])
         return DetectionPipeline(
             spec=self.spec, variables=variables, use_pallas=self.use_pallas,
             dtype=self.dtype, quant="int8",

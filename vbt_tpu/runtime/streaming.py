@@ -34,7 +34,12 @@ from vbt_tpu.analysis.velocity_jax import (
     to_phase_list,
     velocity_step,
 )
-from vbt_tpu.tracking.scan import ScanTrackerConfig, TrackerState, init_state, tracker_step
+from vbt_tpu.tracking.scan import (
+    ScanTrackerConfig,
+    TrackerState,
+    init_state,
+    make_scan_step,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "skip_empty_frames"))
@@ -46,17 +51,9 @@ def track_chunk(
     skip_empty_frames: bool = True,
 ):
     """Advance the tracker over one chunk of frames, carrying state."""
-
-    def step(st, inp):
-        d, v = inp
-        new_st, out = tracker_step(cfg, st, d, v)
-        if skip_empty_frames:
-            active = v.any()
-            new_st = jax.tree.map(lambda a, b: jnp.where(active, a, b), new_st, st)
-            out = out._replace(report=out.report & active)
-        return new_st, out
-
-    return jax.lax.scan(step, state, (dets, valid))
+    return jax.lax.scan(
+        make_scan_step(cfg, skip_empty_frames), state, (dets, valid)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -450,18 +450,13 @@ def tracker_step(cfg: ScanTrackerConfig, st: TrackerState, dets, det_valid):
     return st, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "skip_empty_frames"))
-def track_video(cfg: ScanTrackerConfig, dets, det_valid, skip_empty_frames=True):
-    """Track a whole video in one compiled scan.
-
-    ``dets``: (T, D, 6); ``det_valid``: (T, D) -> FrameTracks stacked over T.
-
-    With ``skip_empty_frames`` (the reference behaviour, track.py:180-181:
-    ``tracker.update`` is never called on frames without detections, so
-    tracks neither predict nor age on those frames), a frame whose mask is
-    all-False leaves the tracker state untouched and reports nothing.
+def make_scan_step(cfg: ScanTrackerConfig, skip_empty_frames: bool):
+    """The per-frame scan step, with the reference's empty-frame skip
+    (track.py:180-181: ``tracker.update`` is never called on frames without
+    detections, so tracks neither predict nor age there). Single source of
+    truth shared by track_video, the streaming chunk scan, and the
+    time-sharded relay — their equality contracts depend on it.
     """
-    st = init_state(cfg, dtype=dets.dtype)
 
     def step(st, inp):
         d, v = inp
@@ -474,5 +469,22 @@ def track_video(cfg: ScanTrackerConfig, dets, det_valid, skip_empty_frames=True)
             out = out._replace(report=out.report & active)
         return new_st, out
 
-    _, out = jax.lax.scan(step, st, (dets, det_valid))
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "skip_empty_frames"))
+def track_video(cfg: ScanTrackerConfig, dets, det_valid, skip_empty_frames=True):
+    """Track a whole video in one compiled scan.
+
+    ``dets``: (T, D, 6); ``det_valid``: (T, D) -> FrameTracks stacked over T.
+
+    With ``skip_empty_frames`` (the reference behaviour, track.py:180-181:
+    ``tracker.update`` is never called on frames without detections, so
+    tracks neither predict nor age on those frames), a frame whose mask is
+    all-False leaves the tracker state untouched and reports nothing.
+    """
+    st = init_state(cfg, dtype=dets.dtype)
+    _, out = jax.lax.scan(
+        make_scan_step(cfg, skip_empty_frames), st, (dets, det_valid)
+    )
     return out

@@ -52,10 +52,13 @@ class DeviceDataTrainer:
 
     def epoch(self, state, rng: np.random.Generator, batch_size: int, key,
               max_batches: int | None = None, mosaic_p: float | None = None):
-        """One shuffled epoch. Returns (state, device train-metric list).
+        """One shuffled epoch.
 
-        mosaic_p overrides the constructor value (traced — e.g. to switch
-        mosaic off for the final epochs without recompiling)."""
+        Returns ``(state, device_metric_list, advanced_key)`` — callers must
+        thread the returned key into the next epoch or augmentation
+        randomness repeats. mosaic_p overrides the constructor value
+        (traced — e.g. to switch mosaic off for the final epochs without
+        recompiling)."""
         p = self.mosaic_p if mosaic_p is None else mosaic_p
         order = rng.permutation(self.n_train)
         stop = self.n_train - (self.n_train % batch_size)
@@ -72,13 +75,26 @@ class DeviceDataTrainer:
             metrics.append(m)
         return state, metrics, key
 
-    def val_loss(self, state) -> float:
+    def val_loss(self, state, batch_size: int = 32) -> float:
+        """Mean validation loss, evaluated in bounded batches (a whole
+        lite2-sized validation set in one program would OOM a 16 GB chip)."""
         if self._valid_images is None:
             return float("nan")
-        m = self._val(
-            state, self._valid_images, self._valid_boxes, self._valid_valid
-        )
-        return float(m["loss"])
+        n = int(self._valid_images.shape[0])
+        losses, weights = [], []
+        for i in range(0, n, batch_size):
+            j = min(i + batch_size, n)
+            m = self._val(
+                state,
+                self._valid_images[i:j],
+                self._valid_boxes[i:j],
+                self._valid_valid[i:j],
+            )
+            losses.append(m["loss"])
+            weights.append(j - i)
+        losses = np.asarray([float(v) for v in losses])
+        weights = np.asarray(weights, float)
+        return float((losses * weights).sum() / weights.sum())
 
 
 def _fused_step_impl(dt: DeviceDataTrainer, state, images_all, boxes_all,
