@@ -315,8 +315,9 @@ def track_one(
 @click.option("--display", is_flag=True, help="Show frames while tracking (requires a GUI).")
 @click.option("--frame_stride", default=1, type=int, show_default=True,
               help="Process every Nth frame (the reference's %16 perf hack; golden dataframes use 1).")
-@click.option("--batch_size", default=32, type=int, show_default=True,
-              help="Device frame batch size.")
+@click.option("--batch_size", default=64, type=int, show_default=True,
+              help="Device frame batch size (64 matches the bench config; "
+                   "128 measures ~25% faster on v5e, tools/perf_probe.py).")
 @click.option("--profile_dir", default=None, show_default=True,
               help="Write a jax.profiler device trace to this directory.")
 @click.option("--timing", is_flag=True, help="Print per-stage wall-clock accounting.")

@@ -43,10 +43,22 @@ def main(log_dir, fig_dir):
     sns.set_theme(context="paper", style="ticks")
     losses = parse_logs(log_dir)
 
-    df = pd.DataFrame(dict(losses))
-    df = df.reindex(sorted(df.columns), axis=1)
-    df["epoch"] = range(1, len(df) + 1)
-    df = pd.melt(df, id_vars=["epoch"], var_name="Model", value_name="loss")
+    # Long format built per model so logs of different lengths coexist
+    # (e.g. a 1500-epoch run beside 1000-epoch ones; the reference's logs
+    # were all 50 epochs so it could assume rectangular data).
+    df = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "epoch": range(1, len(vals) + 1),
+                    "Model": name,
+                    "loss": vals,
+                }
+            )
+            for name, vals in sorted(losses.items())
+        ],
+        ignore_index=True,
+    )
 
     _, ax = plt.subplots(figsize=(7, 4))
     sns.lineplot(ax=ax, data=df, x="epoch", y="loss", hue="Model")
