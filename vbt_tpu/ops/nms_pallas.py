@@ -9,9 +9,11 @@ Pipeline, mirroring the XLA reference implementation in
 
 1. **Anchor decode (XLA, fused)**: all anchors decode as pure elementwise
    math against the constant prior table — XLA fuses this directly onto the
-   box-head output, which beats any hand-written gather-based decode
-   (measured: gathering the anchor table per candidate cost 8.8 ms/batch
-   and minutes of compile; fused decode is free).
+   box-head output. (Honest-timing re-measurement in round 2: decoding
+   only the top-K after an anchor-table gather costs the same 1.8 ms/batch
+   as decode-all-then-gather — round 1's "8.8 ms pathological gather"
+   number was an artifact of the broken block_until_ready timing. The
+   decode-all form is kept: same speed, simpler.)
 2. **Candidate prefilter (XLA)**: ``lax.top_k`` keeps the K highest-scoring
    anchors per image (K = 1024, one exact (8, 128) f32 VPU tile) and
    gathers their decoded boxes.
