@@ -4,21 +4,18 @@ From-scratch schedules can peak before the final epoch (validation loss
 bottoms early while AP keeps moving); this sweep makes checkpoint
 selection evidence-based instead of exporting the last state blindly.
 
-Usage: python -m tools.ckpt_sweep ARCH CKPT_DIR [--data_dir D] [--ema]
+Usage: python -m tools.ckpt_sweep ARCH CKPT_DIR [--data_dir D]
+(evaluates BOTH raw and EMA parameters at every checkpoint)
 """
 
-import sys
-
 import click
-import jax
 
 
 @click.command()
 @click.argument("architecture")
 @click.argument("ckpt_dir")
 @click.option("--data_dir", default="/root/reference/data")
-@click.option("--batch_size", default=64, type=int)
-def main(architecture, ckpt_dir, data_dir, batch_size):
+def main(architecture, ckpt_dir, data_dir):
     from vbt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -43,7 +43,7 @@ COLORS = [(115, 3, 252), (255, 255, 255)]  # track.py:23
 D_CAP = 25  # detections per frame (NMS contract)
 
 
-def collect_detections(detector, src: str, threshold: float, batch_size: int = 32):
+def collect_detections(detector, src: str, threshold: float, batch_size: int = 64):
     """Pass 1: decode + batched device detection over the whole video.
 
     Returns (dets (T, 25, 6) normalized, valid (T, 25), meta).
@@ -188,7 +188,7 @@ def track_many(
     detector,
     sources: list[str],
     detection_treshold: float,
-    batch_size: int = 32,
+    batch_size: int = 64,
     timer=None,
 ) -> dict[str, dict]:
     """Track several videos in ONE compiled program (BASELINE config 4).
@@ -265,7 +265,7 @@ def track_one(
     video_path: str | None = None,
     display: bool = False,
     frame_stride: int = 1,
-    batch_size: int = 32,
+    batch_size: int = 64,
     timer=None,
     time_shard: bool = False,
 ) -> dict:

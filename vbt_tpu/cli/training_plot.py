@@ -42,6 +42,9 @@ def main(log_dir, fig_dir):
 
     sns.set_theme(context="paper", style="ticks")
     losses = parse_logs(log_dir)
+    if not losses:
+        print(f"No val_loss lines found in {log_dir}/*.log; nothing to plot.")
+        return
 
     # Long format built per model so logs of different lengths coexist
     # (e.g. a 1500-epoch run beside 1000-epoch ones; the reference's logs
