@@ -73,7 +73,14 @@ def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, floa
         t_short = timed_fn(pipeline, batches, N_SHORT)
         t_long = timed_fn(pipeline, batches, N_LONG)
         rates.append((t_long - t_short) / (N_LONG - N_SHORT))
-    rates = [r for r in rates if r > 0] or [float("inf")]
+    rates = [r for r in rates if r > 0]
+    if not rates:
+        # Every trial was non-positive: the tunnel swallowed the timing.
+        # Publishing 0.0 (or inf fps) would be a bogus headline — fail loud.
+        raise RuntimeError(
+            "benchmark invalid: no positive marginal-rate trial survived "
+            "(tunnel hiccups in every trial); rerun on an idle chip"
+        )
     return min(rates), float(np.median(rates))
 
 
@@ -89,12 +96,24 @@ def main(int8: bool = False):
 
     spec = get_model_spec("efficientdet_lite0")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    pipeline = DetectionPipeline(
-        spec=spec,
-        variables=DetectionPipeline.init_variables(spec, dtype=dtype),
-        use_pallas=on_tpu,
-        dtype=dtype,
+    # Bench the shipped artifact when present (real score distributions
+    # exercise the NMS early-exit behavior); random init is the fallback
+    # so the bench still runs in a fresh checkout.
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "models", "efficientdet_lite0_whole.msgpack",
     )
+    if os.path.isfile(ckpt):
+        pipeline = DetectionPipeline.from_model_arg(
+            ckpt, use_pallas=on_tpu, dtype=dtype
+        )
+    else:
+        pipeline = DetectionPipeline(
+            spec=spec,
+            variables=DetectionPipeline.init_variables(spec, dtype=dtype),
+            use_pallas=on_tpu,
+            dtype=dtype,
+        )
 
     rng = np.random.default_rng(0)
     if int8:

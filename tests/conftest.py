@@ -31,6 +31,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite's cost is dominated by CPU XLA
+# compiles of the EfficientDet forward/backward (x64), which are identical
+# run to run. First run pays them; reruns load serialized executables.
+from vbt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.path.expanduser("~/.cache/vbt_tpu_xla_tests")
+)
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 

@@ -43,18 +43,15 @@ def _detections_by_time(df: pd.DataFrame) -> dict:
     """Reconstruct per-frame [x1,y1,x2,y2,score,cls] detections."""
     out = {}
     for t, g in df.groupby("time", sort=True):
-        rows = [
-            [
-                r.x - r.norm_plate_width / 2,
-                r.y - r.norm_plate_height / 2,
-                r.x + r.norm_plate_width / 2,
-                r.y + r.norm_plate_height / 2,
-                1.0,
-                0.0,
-            ]
-            for _, r in g.iterrows()
-        ]
-        out[t] = np.array(rows)
+        x = g.x.to_numpy()
+        y = g.y.to_numpy()
+        w = g.norm_plate_width.to_numpy()
+        h = g.norm_plate_height.to_numpy()
+        out[t] = np.stack(
+            [x - w / 2, y - h / 2, x + w / 2, y + h / 2,
+             np.ones_like(x), np.zeros_like(x)],
+            axis=1,
+        )
     return out
 
 

@@ -64,6 +64,7 @@ def test_detection_loss_perfect_prediction_is_small():
     assert float(total) < 1e-2
 
 
+@pytest.mark.slow  # ~8 min of x64-CPU training; run with `-m slow`
 def test_trainer_overfits_single_image():
     """A few steps on one tiny image must reduce the loss substantially."""
     spec = get_model_spec("efficientdet_lite0")

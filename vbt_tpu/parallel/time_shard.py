@@ -10,7 +10,10 @@ of a 7-state filter) is handed off between neighboring chips with
 The tracker recursion is inherently sequential (association/birth/death are
 data-dependent), so the relay runs n_chunks rounds: in round r the chip
 holding chunk r advances the carry across its frames and ppermutes the
-~10 KB state to chip r+1. Tracker FLOPs are negligible next to detection;
+~10 KB state to chip r+1. Under SPMD every chip executes the chunk scan in
+every round and n-1 of the n results are discarded by ``jnp.where`` — total
+tracker compute is n^2 chunk-scans, n times the single-device work. That
+redundancy is deliberate: tracker FLOPs are negligible next to detection;
 what the sharding buys is (a) the detector running n-way parallel on the
 frame axis and (b) per-chip frame memory bounded at T/n, so videos larger
 than one chip's HBM stream through the mesh. Output equals the

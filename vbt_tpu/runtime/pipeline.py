@@ -68,13 +68,19 @@ class DetectionPipeline:
     def __post_init__(self):
         self.anchors = generate_anchors(self.spec.anchor_config)
         self._model = EfficientDet(self.spec, dtype=self.dtype)
-        # Two dispatches on purpose: fusing the postprocess into the same
-        # XLA program as the detector makes the compiler pick layouts that
-        # cost ~10ms/batch and minutes of compile (measured on v5e); split,
-        # the pair runs in <1ms. The intermediate is ~10 MB of HBM traffic.
+        # detect_batch runs as ONE XLA program (forward + postprocess).
+        # Round-2 honest re-measurement showed fusion is neutral in device
+        # time (9.11 vs 9.29 ms at batch 64 — round 1's "fusing costs
+        # ~10 ms" claim was a broken-timing artifact); fused saves a
+        # dispatch and the (B, N, 4+C) head-output HBM round trip. The
+        # split _forward/_post pair is kept for callers that need the raw
+        # head outputs (bench probes, eval tooling).
         self._forward = jax.jit(self._forward_impl)
         self._post = jax.jit(
             self._post_impl, static_argnames=("score_threshold",)
+        )
+        self._detect = jax.jit(
+            self._detect_impl, static_argnames=("score_threshold",)
         )
 
     # -- constructors -------------------------------------------------------
@@ -153,10 +159,13 @@ class DetectionPipeline:
             score_threshold=score_threshold,
         )
 
+    def _detect_impl(self, variables, frames, score_threshold: float = 0.0):
+        deltas, logits = self._forward_impl(variables, frames)
+        return self._post_impl(deltas, logits, score_threshold=score_threshold)
+
     def detect_batch(self, frames: np.ndarray, score_threshold: float = 0.0) -> Detections:
         """uint8 RGB (B, H, W, 3) -> fixed-capacity Detections on device."""
-        deltas, logits = self._forward(self.variables, frames)
-        return self._post(deltas, logits, score_threshold=score_threshold)
+        return self._detect(self.variables, frames, score_threshold=score_threshold)
 
     def detections_to_tracker_inputs(
         self, det: Detections, threshold: float

@@ -175,12 +175,18 @@ class StreamingAnalyzer:
             for i in np.nonzero(fired)[0]:
                 self._events.append({k: host[k][i] for k in host})
 
-    def phases(self) -> list[Phase]:
-        """Current phase list (includes the open-phase flush preview)."""
+    def phases(self, include_open: bool = True) -> list[Phase]:
+        """Current phase list.
+
+        ``include_open`` adds the open-phase flush preview (what
+        ``end_processing`` would emit if the stream ended now) — the final
+        summary wants it; live per-rep announcements pass False so only
+        completed phases print (their metrics are final modulo the
+        retroactive filter)."""
         carry, flush = flush_event(self._carry)
         records = list(self._events)
         flush_host = {k: np.asarray(v) for k, v in flush._asdict().items()}
-        if bool(flush_host["fired"]):
+        if include_open and bool(flush_host["fired"]):
             records.append(flush_host)
         if not records:
             return []
@@ -252,5 +258,5 @@ class StreamingPipeline:
                 w_arr.append(abs(x2 - x1))
         self.analyzer.push_chunk(t_arr, x_arr, y_arr, dy_arr, h_arr, w_arr)
 
-    def phases(self) -> list[Phase]:
-        return self.analyzer.phases()
+    def phases(self, include_open: bool = True) -> list[Phase]:
+        return self.analyzer.phases(include_open=include_open)
