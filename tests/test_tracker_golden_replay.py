@@ -13,14 +13,26 @@ Known, fundamental reconstruction limits (documented, not bugs):
 
 - Tracks suppressed by min_hits (born, never re-matched) leave NO rows, so
   their detections are invisible; clips where such "ghost" births influenced
-  association or the id counter cannot be replayed bit-for-bit. On ghost-free
-  clips the replay is exact.
+  association or the id counter cannot be replayed bit-for-bit from visible
+  rows alone. On ghost-free clips the replay is exact.
 - Replay pins ``min_hits=1`` for both generations (new tracks appear in the
   goldens from their second consecutive hit; re-found tracks immediately).
 - The post-occlusion ORU replay matches the real OC-SORT's Kalman state to
   ~1e-7 in dy (the residual is covariance-trajectory detail that decays);
   everywhere else dy agreement is exact. Downstream, dx/dy are overwritten
   by VelocityTracker anyway (SURVEY.md §2.1 quirk 2).
+
+Round-3 ghost accounting (tools/ocsort_ghost_audit.py): the 9 non-exact
+clips are exactly the clips with a track first reported after
+update-frame 3 — a flickering secondary object whose earlier isolated
+detections left no rows. For 015/016/034 the missing flickers were SOLVED
+numerically (sweeping the flicker frame, inverting the ORU velocity
+against the golden dx/dy) and committed as fixtures/ocsort_ghosts.json;
+injecting them makes those clips replay exactly (28/34 exact). The
+remaining 6 are provably unreachable from score-less reconstructions:
+golden 028 keeps a track alive across a 67-update-frame silent gap with
+max_age=30, which requires matched-but-unreported (score-gated,
+BYTE-style) updates — and the goldens do not record scores.
 """
 
 import glob
@@ -66,24 +78,43 @@ def _replay_host(tracker, dets_by_time):
     return pd.DataFrame(rows, columns=["id", "time", "x", "y", "dx", "dy"])
 
 
+def _load_ghosts():
+    """Solved ghost detections (tools/ocsort_ghost_audit.py --solve)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "ocsort_ghosts.json")
+    return json.load(open(path)) if os.path.exists(path) else {}
+
+
 @pytest.fixture(scope="module")
 def oc_replays(reference_root):
-    """Replay every clip once; reused by the OC-SORT assertions."""
+    """Replay every clip once; reused by the OC-SORT assertions.
+
+    Clips listed in fixtures/ocsort_ghosts.json get their solved invisible
+    flicker detections injected — the replay of those clips is then exact."""
     from vbt_tpu.tracking.ocsort import OCSort
 
+    ghost_fixture = _load_ghosts()
     replays = {}
     for f in _golden_files():
         gold = pd.read_pickle(f)
         dets = _detections_by_time(gold)
+        short = os.path.basename(f).split("_id")[0]
+        for entry in ghost_fixture.get(short, []):
+            t, box = entry[0], list(entry[1:5])
+            row = np.asarray([box + [1.0, 0.0]])
+            dets[t] = np.concatenate([dets[t], row]) if t in dets else row
         trk = OCSort(max_age=30, asso_func="diou", iou_threshold=0.1, min_hits=1)
-        replays[os.path.basename(f)] = (gold, _replay_host(trk, dets))
+        replays[os.path.basename(f)] = (gold, _replay_host(trk, dets), bool(
+            ghost_fixture.get(short)))
     return replays
 
 
 def test_ocsort_replay_pins_to_reference(oc_replays):
     assert len(oc_replays) == 34
     clean = 0
-    for name, (gold, ours) in oc_replays.items():
+    for name, (gold, ours, ghosted) in oc_replays.items():
         g = gold.sort_values(["time", "id"]).reset_index(drop=True)
         o = ours.sort_values(["time", "id"]).reset_index(drop=True)
 
@@ -95,25 +126,30 @@ def test_ocsort_replay_pins_to_reference(oc_replays):
                       + "_" + o.y.round(9).astype(str))
         j = gk.merge(ok, on="k", suffixes=("_g", "_o"))
         assert len(j) / len(g) >= 0.99, name
-        assert np.abs(j.dx_g - j.dx_o).max() < 2e-2, name
-        assert np.abs(j.dy_g - j.dy_o).max() < 2e-2, name
+        # Round 3 tightened from 2e-2: the solved-ghost clips land <=7e-4
+        # and the residual 6 clips (score-gated invisible detections,
+        # module docstring) stay under 6e-3 on joined rows (012's
+        # mismatched-id transients are the ceiling).
+        tol = 1e-3 if ghosted else 8e-3
+        assert np.abs(j.dx_g - j.dx_o).max() < tol, name
+        assert np.abs(j.dy_g - j.dy_o).max() < tol, name
         # dy is exact except in post-occlusion ORU transients.
         assert np.median(np.abs(j.dy_g - j.dy_o)) < 1e-9, name
 
         if len(g) == len(o):
             clean += 1
-            # Ghost-free clip: ids and reported positions are EXACT.
+            # Ghost-free (or ghost-solved) clip: ids and positions EXACT.
             np.testing.assert_array_equal(np.asarray(g.id), np.asarray(o.id))
             np.testing.assert_array_equal(np.asarray(g.x), np.asarray(o.x))
             np.testing.assert_array_equal(np.asarray(g.y), np.asarray(o.y))
-    assert clean >= 24, f"only {clean} ghost-free clips replayed exactly"
+    assert clean >= 28, f"only {clean} clips replayed exactly"
 
 
 def test_ocsort_ids_reset_per_instance(oc_replays):
     """Every clip's replay starts at id 1 (per-instance id space) — matching
     the golden dfs_ocsort/ files, which all resolve to id1 (CLAUDE.md parity
     rule), while the SORT generation's ids climb across videos."""
-    for name, (gold, ours) in oc_replays.items():
+    for name, (gold, ours, _ghosted) in oc_replays.items():
         assert ours.id.min() == 1, name
         assert gold.id.min() == 1, name
 

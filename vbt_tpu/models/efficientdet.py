@@ -68,36 +68,48 @@ class EfficientDet(nn.Module):
     spec: ModelSpec
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False, quant: str = "off"):
-        feats = EfficientNetLite(self.spec.backbone, dtype=self.dtype, name="backbone")(
-            images, train, quant
-        )
-        feats = BiFPN(
+    def setup(self):
+        # Attribute names define the param-tree keys — identical to the
+        # original inline-compact layout ('backbone', 'fpn', 'box_net',
+        # 'class_net'), so existing checkpoints load unchanged.
+        self.backbone = EfficientNetLite(self.spec.backbone, dtype=self.dtype)
+        self.fpn = BiFPN(
             self.spec.fpn_channels,
             self.spec.fpn_repeats,
             weight_method="sum",
             dtype=self.dtype,
-            name="fpn",
-        )(feats, train, quant)
-
-        box_maps = PredictionHead(
+        )
+        self.box_net = PredictionHead(
             out_per_anchor=4,
             num_anchors=ANCHORS_PER_CELL,
             channels=self.spec.fpn_channels,
             repeats=self.spec.head_repeats,
             dtype=self.dtype,
-            name="box_net",
-        )(feats, train, quant)
-        cls_maps = PredictionHead(
+        )
+        self.class_net = PredictionHead(
             out_per_anchor=self.spec.num_classes,
             num_anchors=ANCHORS_PER_CELL,
             channels=self.spec.fpn_channels,
             repeats=self.spec.head_repeats,
             dtype=self.dtype,
             final_bias_prior=0.01,
-            name="class_net",
-        )(feats, train, quant)
+        )
+
+    def __call__(self, images: jnp.ndarray, train: bool = False, quant: str = "off"):
+        feats = self.backbone(images, train, quant)
+        return self.neck_and_heads(feats, train, quant)
+
+    def neck_and_heads(self, feats: dict[int, jnp.ndarray], train: bool = False,
+                       quant: str = "off"):
+        """BiFPN + prediction heads on precomputed backbone feature taps.
+
+        Public method target for ``model.apply(..., method='neck_and_heads')``
+        — the turbo backbone (models/turbo.py) computes the taps with fused
+        Pallas MBConv kernels and re-enters the flax graph here.
+        """
+        feats = self.fpn(feats, train, quant)
+        box_maps = self.box_net(feats, train, quant)
+        cls_maps = self.class_net(feats, train, quant)
 
         def flatten(maps: dict[int, jnp.ndarray], per_anchor: int) -> jnp.ndarray:
             parts = []

@@ -32,10 +32,14 @@ def preprocess_frames(
     """
     b = frames.shape[0]
     x = frames.astype(jnp.float32)
-    # antialias=False matches tf.image.resize's default kernel exactly.
-    x = jax.image.resize(
-        x, (b, input_size, input_size, 3), method="bilinear", antialias=False
-    )
+    # Identity resize is a static no-op: bilinear with half-pixel centers at
+    # equal size reproduces the input exactly, and skipping it statically
+    # spares XLA a gather/matmul pass over the full frame batch.
+    if frames.shape[1:3] != (input_size, input_size):
+        # antialias=False matches tf.image.resize's default kernel exactly.
+        x = jax.image.resize(
+            x, (b, input_size, input_size, 3), method="bilinear", antialias=False
+        )
     if quantize_uint8:
         # tf.cast(float, uint8) truncates toward zero; values are >= 0 here.
         x = jnp.clip(jnp.floor(x), 0.0, 255.0)
