@@ -145,7 +145,11 @@ def turbo_backbone(
             name = f"g{gi}_b{ri}"
             in_ch = x.shape[1] if layout == "cp" else x.shape[-1]
             residual = stride == 1 and in_ch == group.out_ch
-            if h * w >= fuse_min_spatial:
+            # Only expand>1 blocks fuse: the no-expand stage-0 block keeps
+            # its full-channel input at stem resolution live through every
+            # depthwise tap temp and blows the 16 MB scoped-VMEM budget
+            # (measured on v5e); it also has no 6x intermediate to save.
+            if h * w >= fuse_min_spatial and group.expand != 1:
                 if layout == "nhwc":
                     x = _nhwc_to_cp(x)
                     layout = "cp"

@@ -125,9 +125,12 @@ def _mbconv_kernel(
     acc = jnp.broadcast_to(bd_ref[...], (bd_ref.shape[0], po))
     for t in taps:
         hp = hs[t.plane]
-        # term[q] = hp[q + shift]: a left-roll; wraparound only reaches
-        # masked (invalid) positions. Modulo keeps the shift positive.
-        term = pltpu.roll(hp, (-t.shift) % po, 1) if t.shift else hp
+        # term[q] = hp[q + shift]: a left-roll via static slice + concat
+        # (Mosaic's tpu.dynamic_rotate only supports 32-bit data, so
+        # pltpu.roll is off the table for bf16); wraparound only reaches
+        # masked (invalid) positions.
+        s = t.shift % po
+        term = jnp.concatenate([hp[:, s:], hp[:, :s]], axis=1) if s else hp
         term = term.astype(jnp.float32)
         if t.needs_mask:
             iy = stride * yo_idx + t.dy
