@@ -58,6 +58,36 @@ def test_fused_block_matches_flax(kernel, stride, expand, cin, cout, h):
     )
 
 
+@pytest.mark.parametrize("num_chunks", [2, 3, 6])
+def test_fused_block_cmid_chunked_matches_flax(num_chunks):
+    """The Cmid-chunked reduction grid (VMEM-bounded path) is exact."""
+    kernel, stride, expand, cin, cout, h = 3, 2, 6, 8, 16, 16
+    args = MBConvArgs(kernel=kernel, stride=stride, expand=expand,
+                      out_ch=cout, repeats=1)
+    block = MBConvBlock(args=args, stride=stride, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, h, h, cin)), jnp.float32)
+    variables = block.init(jax.random.PRNGKey(0), x, False)
+    stats = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.1, 1.0, a.shape), a.dtype),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    want = block.apply(variables, x, False)
+
+    fp = fold_block_params(
+        variables["params"], variables["batch_stats"], h, h, kernel, stride,
+        False, compute_dtype=jnp.float32,
+    )
+    x_cp = x.transpose(0, 3, 1, 2).reshape(2, cin, h * h)
+    got_cp = fused_mbconv(x_cp, fp, interpret=True, num_chunks=num_chunks)
+    ho = -(-h // stride)
+    got = got_cp.reshape(2, cout, ho, ho).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_tap_enumeration_matches_xla_same_padding():
     """Tap offsets reproduce XLA SAME padding exactly (asymmetric pads)."""
     for k, s, size in [(3, 1, 8), (3, 2, 8), (5, 1, 8), (5, 2, 8), (3, 2, 10)]:

@@ -83,13 +83,16 @@ def enumerate_taps(k: int, stride: int, h: int, w: int) -> tuple[list[TapSpec], 
 
 def _mbconv_kernel(
     x_ref,    # (1, Cin, planes, Po_in) — phase planes of the input
-    we_ref,   # (Cmid, Cin) bf16 (BN-folded)  [absent if not has_expand]
-    be_ref,   # (Cmid, 1) f32
-    wd_ref,   # (Cmid, k*k) f32 (BN-folded)
-    bd_ref,   # (Cmid, 1) f32
-    wp_ref,   # (Cout, Cmid) bf16 (BN-folded)
+    we_ref,   # (Cmid/nj, Cin) bf16 (BN-folded)  [placeholder if not has_expand]
+    be_ref,   # (Cmid/nj, 1) f32
+    wd_ref,   # (Cmid/nj, k*k) f32 (BN-folded)
+    bd_ref,   # (Cmid/nj, 1) f32
+    wp_ref,   # (Cmid/nj, Cout) bf16 (BN-folded, TRANSPOSED: chunking must
+              # ride the sublane axis — Pallas requires lane-axis blocks
+              # divisible by 128 or whole)
     bp_ref,   # (Cout, 1) f32
     out_ref,  # (1, Cout, Po)
+    y_ref,    # VMEM scratch (Cout, Po) f32 — partial-projection accumulator
     *,
     taps: tuple,
     ho: int,
@@ -100,11 +103,16 @@ def _mbconv_kernel(
     planes: int,
     residual: bool,
     has_expand: bool,
+    nj: int,
 ):
     po = ho * wo
     compute_dtype = wp_ref.dtype  # bf16 in serving; f32 in oracle tests
 
-    # Expand (1x1 conv, MXU) per phase plane; ReLU6 epilogue.
+    # Expand (1x1 conv, MXU) per phase plane; ReLU6 epilogue. With nj > 1
+    # only a Cmid-chunk of the expanded tensor is ever live in VMEM; the
+    # projection below accumulates chunk partials into the scratch (the
+    # depthwise is per-channel, so chunks are independent; the project is a
+    # sum over Cmid, so partial matmuls add exactly).
     hs = []
     for p in range(planes):
         xp = x_ref[0, :, p, :]  # (Cin, Po)
@@ -140,15 +148,35 @@ def _mbconv_kernel(
         acc = acc + wd_ref[:, t.tap][:, None] * term
     h2 = jnp.clip(acc, 0.0, 6.0).astype(compute_dtype)
 
-    # Project (1x1 conv, MXU); BN folded, no activation.
+    # Partial projection (1x1 conv, MXU) for this chunk: wp_t.T @ h2.
     y = jax.lax.dot_general(
         wp_ref[...], h2,
-        (((1,), (0,)), ((), ())),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bp_ref[...]
-    if residual:
-        y = y + x_ref[0, :, 0, :].astype(jnp.float32)
-    out_ref[0] = y.astype(out_ref.dtype)
+    )
+    if nj == 1:
+        y = y + bp_ref[...]
+        if residual:
+            y = y + x_ref[0, :, 0, :].astype(jnp.float32)
+        out_ref[0] = y.astype(out_ref.dtype)
+        return
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        y_ref[...] = y
+
+    @pl.when(j > 0)
+    def _accum():
+        y_ref[...] = y_ref[...] + y
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        out = y_ref[...] + bp_ref[...]
+        if residual:
+            out = out + x_ref[0, :, 0, :].astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
 
 
 @dataclass(frozen=True)
@@ -186,57 +214,118 @@ def to_phase_planes(x_cp: jnp.ndarray, h: int, w: int, stride: int) -> jnp.ndarr
     return x4.reshape(b, c, 4, (h // 2) * (w // 2))
 
 
+# VMEM working-set budget per grid step. v5e cores have 128 MB VMEM but
+# Mosaic's scoped allocation is capped at 16 MB (and the raise-limit XLA
+# flag is absent from this toolchain). The estimate below tracks the
+# DATA-DEPENDENCE working set; Mosaic's scheduler keeps ~2x that live
+# (measured: a block estimated at 10.4 MB allocated 22.2 MB — it hoists
+# several tap-shift temporaries), so the budget bakes in that fudge.
+_VMEM_BUDGET = 5 * 1024 * 1024
+
+
+def _pick_num_chunks(cmid, cin, cout, planes, po, x_itemsize, c_itemsize,
+                     o_itemsize) -> int:
+    """Smallest Cmid-chunk count whose per-step working set fits the budget.
+
+    Candidate counts must divide Cmid into sublane-aligned (multiple-of-8)
+    chunks. Estimate = double-buffered input/output blocks + the chunk's
+    expanded planes + the f32 depthwise tap/acc temporaries + the f32
+    projection scratch."""
+    def est(nj):
+        c = cmid // nj
+        fixed = 2 * cin * planes * po * x_itemsize + 2 * cout * po * o_itemsize
+        if nj > 1:
+            fixed += cout * po * 4  # scratch accumulator
+        return fixed + planes * c * po * c_itemsize + 2 * c * po * 4
+
+    if est(1) <= _VMEM_BUDGET:
+        return 1
+    valid = [nj for nj in range(2, cmid // 8 + 1)
+             if cmid % nj == 0 and (cmid // nj) % 8 == 0]
+    for nj in valid:
+        if est(nj) <= _VMEM_BUDGET:
+            return nj
+    return valid[-1] if valid else 1
+
+
 def fused_mbconv(
     x_cp: jnp.ndarray,  # (B, Cin, H*W) channel-major, row-major positions
     p: FusedBlockParams,
     interpret: bool = False,
+    num_chunks: int | None = None,
 ) -> jnp.ndarray:  # (B, Cout, Ho*Wo)
     taps, ho, wo = enumerate_taps(p.kernel, p.stride, p.h, p.w)
     planes = 1 if p.stride == 1 else 4
     b, cin, _ = x_cp.shape
     cout = p.wp.shape[0]
+    cmid = p.wd.shape[0]
     po = ho * wo
 
     x_planes = to_phase_planes(x_cp, p.h, p.w, p.stride)
+
+    # Chunk Cmid when the whole expanded tensor would blow scoped VMEM.
+    # No-expand blocks read their input per-channel, so chunking would also
+    # have to slice x; they are small (turbo never fuses them) — keep whole.
+    if num_chunks is not None:
+        nj = num_chunks
+    elif p.has_expand:
+        nj = _pick_num_chunks(
+            cmid, cin, cout, planes, po, x_planes.dtype.itemsize,
+            p.wp.dtype.itemsize, x_cp.dtype.itemsize,
+        )
+    else:
+        nj = 1
+    cchunk = cmid // nj
 
     kernel = functools.partial(
         _mbconv_kernel,
         taps=tuple(taps),
         ho=ho, wo=wo, h=p.h, w=p.w,
         stride=p.stride, planes=planes,
-        residual=p.residual, has_expand=p.has_expand,
+        residual=p.residual, has_expand=p.has_expand, nj=nj,
     )
     weight_args = []
     weight_specs = []
-    for arr in (p.we, p.be, p.wd, p.bd, p.wp, p.bp):
+    # wp travels transposed (Cmid, Cout): every Cmid-chunked operand blocks
+    # over its ROW (sublane) axis, which Pallas allows at multiple-of-8.
+    for arr, chunked in (
+        (p.we, True), (p.be, True), (p.wd, True), (p.bd, True),
+        (None if p.wp is None else p.wp.T, True), (p.bp, False),
+    ):
         if arr is None:
             continue
         weight_args.append(arr)
-        weight_specs.append(
-            pl.BlockSpec(arr.shape, lambda i, nd=arr.ndim: (0,) * nd,
-                         memory_space=pltpu.VMEM)
-        )
+        if chunked and nj > 1:
+            block = (cchunk,) + arr.shape[1:]
+            weight_specs.append(pl.BlockSpec(
+                block, lambda i, j: (j, 0), memory_space=pltpu.VMEM))
+        else:
+            weight_specs.append(pl.BlockSpec(
+                arr.shape, lambda i, j, nd=arr.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM))
     if not p.has_expand:
         # Kernel signature keeps we/be slots; feed 1x1 placeholders.
-        cmid = p.wd.shape[0]
         weight_args = [jnp.zeros((cmid, cin), jnp.bfloat16),
                        jnp.zeros((cmid, 1), jnp.float32)] + weight_args
         weight_specs = [
-            pl.BlockSpec((cmid, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmid, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid, cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmid, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ] + weight_specs
 
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, nj),
         in_specs=[
             pl.BlockSpec((1, cin, planes, x_planes.shape[-1]),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             *weight_specs,
         ],
-        out_specs=pl.BlockSpec((1, cout, po), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, cout, po), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, cout, po), x_cp.dtype),
+        scratch_shapes=[pltpu.VMEM((cout, po), jnp.float32)],
         interpret=interpret,
     )(x_planes, *weight_args)
     return out

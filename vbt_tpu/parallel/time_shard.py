@@ -49,6 +49,16 @@ def _chunk_scan(cfg, st, dets_local, valid_local, skip_empty_frames):
     jax.jit, static_argnames=("cfg", "mesh", "skip_empty_frames")
 )
 def _time_sharded_impl(cfg, dets, valid, mesh, skip_empty_frames):
+    """Sequential chunk relay over the mesh's 'data' axis.
+
+    Each of the n rounds runs the full chunk scan on ALL n chips and keeps
+    the result only on the round's owner (jnp.where), so total tracker
+    compute is n^2 chunk-scans — n x the single-device work. That is an
+    accepted cost: the scan-tracker is tiny next to detection (the pattern
+    exists to keep long videos resident where their frames were decoded),
+    and gating the scan on round ownership would need per-chip control flow
+    that GSPMD cannot express inside one program. Revisit only if tracker
+    cost ever shows up in profiles."""
     n = mesh.shape["data"]
 
     @functools.partial(
