@@ -84,7 +84,7 @@ def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, floa
     return min(rates), float(np.median(rates))
 
 
-def main(int8: bool = False):
+def main(int8: bool = False, turbo: bool = False):
     from vbt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -103,9 +103,10 @@ def main(int8: bool = False):
         os.path.dirname(os.path.abspath(__file__)),
         "models", "efficientdet_lite0_whole.msgpack",
     )
+    backbone = "turbo" if turbo else "xla"
     if os.path.isfile(ckpt):
         pipeline = DetectionPipeline.from_model_arg(
-            ckpt, use_pallas=on_tpu, dtype=dtype
+            ckpt, use_pallas=on_tpu, dtype=dtype, backbone=backbone
         )
     else:
         pipeline = DetectionPipeline(
@@ -113,6 +114,7 @@ def main(int8: bool = False):
             variables=DetectionPipeline.init_variables(spec, dtype=dtype),
             use_pallas=on_tpu,
             dtype=dtype,
+            backbone=backbone,
         )
 
     rng = np.random.default_rng(0)
@@ -163,6 +165,8 @@ def main(int8: bool = False):
     metric = "efficientdet_lite0_320_detection_throughput"
     if int8:
         metric += "_int8"
+    if turbo:
+        metric += "_turbo"
     print(
         json.dumps(
             {
@@ -182,4 +186,4 @@ def main(int8: bool = False):
 if __name__ == "__main__":
     import sys
 
-    main(int8="--int8" in sys.argv)
+    main(int8="--int8" in sys.argv, turbo="--turbo" in sys.argv)

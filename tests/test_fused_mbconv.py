@@ -112,6 +112,29 @@ def test_tap_enumeration_matches_xla_same_padding():
         np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_pipeline_turbo_backbone_matches_xla():
+    """DetectionPipeline(backbone='turbo') produces the same detections."""
+    from vbt_tpu.models import get_model_spec
+    from vbt_tpu.runtime.pipeline import DetectionPipeline
+
+    spec = get_model_spec("efficientdet_lite0")
+    variables = DetectionPipeline.init_variables(spec, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(
+        rng.integers(0, 255, size=(1, spec.input_size, spec.input_size, 3)),
+        jnp.uint8,
+    )
+    ref = DetectionPipeline(spec=spec, variables=variables)
+    turbo = DetectionPipeline(spec=spec, variables=variables, backbone="turbo")
+    want = ref.detect_batch(frames)
+    got = turbo.detect_batch(frames)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(want.count))
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(want.scores),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.boxes), np.asarray(want.boxes),
+                               atol=1e-4)
+
+
 def test_turbo_forward_matches_model():
     """Full detector forward with the turbo backbone equals model.apply."""
     from vbt_tpu.models import EfficientDet, get_model_spec

@@ -63,6 +63,9 @@ class DetectionPipeline:
     use_pallas: bool = True
     dtype: Any = jnp.float32
     quant: str = "off"
+    # 'xla' = flax convs; 'turbo' = fused Pallas MBConv backbone
+    # (models/turbo.py) — same checkpoint pytree, serving-only fast path.
+    backbone: str = "xla"
     anchors: np.ndarray = field(init=False)
 
     def __post_init__(self):
@@ -87,7 +90,7 @@ class DetectionPipeline:
     @classmethod
     def from_model_arg(
         cls, model: str, use_pallas: bool = True, dtype: Any = jnp.float32,
-        seed: int = 0, allow_random: bool = False,
+        seed: int = 0, allow_random: bool = False, backbone: str = "xla",
     ) -> "DetectionPipeline":
         spec, ckpt = resolve_model(model)
         if ckpt is None and not allow_random:
@@ -103,7 +106,8 @@ class DetectionPipeline:
             variables = load_params(ckpt, template)
         else:
             variables = template
-        return cls(spec=spec, variables=variables, use_pallas=use_pallas, dtype=dtype)
+        return cls(spec=spec, variables=variables, use_pallas=use_pallas,
+                   dtype=dtype, backbone=backbone)
 
     @staticmethod
     def init_variables(spec: ModelSpec, seed: int = 0, dtype: Any = jnp.float32):
@@ -117,6 +121,13 @@ class DetectionPipeline:
     # -- inference ------------------------------------------------------------
     def _forward_impl(self, variables, frames):
         images = preprocess_frames(frames, self.spec.input_size, dtype=self.dtype)
+        if self.backbone == "turbo":
+            from vbt_tpu.models.turbo import turbo_forward
+
+            return turbo_forward(
+                self._model, variables, images,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
         return self._model.apply(variables, images, train=False, quant=self.quant)
 
     # -- int8 ----------------------------------------------------------------
