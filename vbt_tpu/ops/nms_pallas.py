@@ -55,46 +55,66 @@ SLOTS = 128  # output slots (>= max_detections), one VPU row
 NUM_CANDIDATES = 512
 
 
+def _imax(x):
+    """max over the per-image candidate block (last two axes), keepdims."""
+    return jnp.max(jnp.max(x, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _imin(x):
+    return jnp.min(jnp.min(x, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _isum(x):
+    return jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
 def _nms_kernel(
-    logits_ref,  # (1, R, 128) f32 — candidate logits, score-sorted
-    boxes_ref,  # (1, 4, R, 128) f32: ymin, xmin, ymax, xmax planes (decoded)
-    scores_out,  # (1, 1, SLOTS)
-    boxes_out,  # (1, 4, SLOTS): ymin, xmin, ymax, xmax per slot
-    count_out,  # (1, 1, SLOTS) int32 (lane 0 carries the count)
+    logits_ref,  # (T, R, 128) f32 — candidate logits per image tile
+    boxes_ref,  # (T, 4, R, 128) f32: ymin, xmin, ymax, xmax planes (decoded)
+    scores_out,  # (T, 1, SLOTS)
+    boxes_out,  # (T, 4, SLOTS): ymin, xmin, ymax, xmax per slot
+    count_out,  # (T, 1, SLOTS) int32 (lane 0 carries the count)
     *,
     max_detections: int,
     iou_threshold: float,
     score_threshold: float,
 ):
-    scores = jax.nn.sigmoid(logits_ref[0])  # (R, 128); pads -> 0 exactly
+    """Greedy NMS, VECTORIZED over a tile of T images.
 
-    ymin = boxes_ref[0, 0]
-    xmin = boxes_ref[0, 1]
-    ymax = boxes_ref[0, 2]
-    xmax = boxes_ref[0, 3]
+    Every round's reduction/selection runs on (T, R, 128) arrays — one
+    round advances all T images at once. The original one-image-per-grid-
+    step form spent most of its time in per-step overhead and narrow
+    (R, 128) reductions (measured round 3); tiling images recovers full
+    VPU width at identical per-image semantics."""
+    scores = jax.nn.sigmoid(logits_ref[...])  # (T, R, 128); pads -> 0 exactly
+
+    ymin = boxes_ref[:, 0]  # (T, R, 128)
+    xmin = boxes_ref[:, 1]
+    ymax = boxes_ref[:, 2]
+    xmax = boxes_ref[:, 3]
     area = (ymax - ymin) * (xmax - xmin)
 
-    rows = scores.shape[0]
+    t, rows, _ = scores.shape
     flat = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (t, rows, LANES), 1) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (t, rows, LANES), 2)
     )
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SLOTS), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 1, SLOTS), 2)
 
     live0 = scores >= score_threshold
-    zeros_row = jnp.zeros((1, SLOTS), jnp.float32)
+    zeros_slots = jnp.zeros((t, 1, SLOTS), jnp.float32)
 
     def round_fn(i, state):
         live, out_s, out_ymin, out_xmin, out_ymax, out_xmax, count = state
         cand = jnp.where(live, scores, 0.0)
-        m = jnp.max(cand)
+        m = _imax(cand)  # (T, 1, 1)
         found = m > 0.0
-        # Deterministic winner: lowest flat index among score ties.
-        win_idx = jnp.min(jnp.where(cand == m, flat, jnp.iinfo(jnp.int32).max))
+        # Deterministic winner per image: lowest flat index among ties.
+        win_idx = _imin(jnp.where(cand == m, flat, jnp.iinfo(jnp.int32).max))
         onehot = (flat == win_idx).astype(jnp.float32)
 
         def sel(plane):
-            return jnp.sum(plane * onehot)
+            return _isum(plane * onehot)  # (T, 1, 1)
 
         s_ymin, s_xmin, s_ymax, s_xmax = sel(ymin), sel(xmin), sel(ymax), sel(xmax)
         s_area = sel(area)
@@ -109,7 +129,7 @@ def _nms_kernel(
         live = live & ~(found & (iou > iou_threshold))
         live = live & ~(found & (flat == win_idx))
 
-        slot = (slot_iota == i) & found
+        slot = (slot_iota == i) & found  # (T, 1, SLOTS)
         out_s = jnp.where(slot, m, out_s)
         out_ymin = jnp.where(slot, s_ymin, out_ymin)
         out_xmin = jnp.where(slot, s_xmin, out_xmin)
@@ -121,18 +141,18 @@ def _nms_kernel(
     # Statically unrolled selection rounds: Mosaic currently fails to
     # legalize scf.for with large vector carries, and max_detections is a
     # small compile-time constant (25).
-    state = (live0, zeros_row, zeros_row, zeros_row, zeros_row, zeros_row,
-             jnp.asarray(0, jnp.int32))
+    state = (live0, zeros_slots, zeros_slots, zeros_slots, zeros_slots,
+             zeros_slots, jnp.zeros((t, 1, 1), jnp.int32))
     for i in range(max_detections):
         state = round_fn(i, state)
     _, out_s, out_ymin, out_xmin, out_ymax, out_xmax, count = state
 
-    scores_out[0, 0, :] = out_s[0]
-    boxes_out[0, 0, :] = out_ymin[0]
-    boxes_out[0, 1, :] = out_xmin[0]
-    boxes_out[0, 2, :] = out_ymax[0]
-    boxes_out[0, 3, :] = out_xmax[0]
-    count_out[0, 0, :] = jnp.full((SLOTS,), count, jnp.int32)
+    scores_out[...] = out_s
+    boxes_out[:, 0, :] = out_ymin[:, 0, :]
+    boxes_out[:, 1, :] = out_xmin[:, 0, :]
+    boxes_out[:, 2, :] = out_ymax[:, 0, :]
+    boxes_out[:, 3, :] = out_xmax[:, 0, :]
+    count_out[...] = jnp.broadcast_to(count, (t, 1, SLOTS)).astype(jnp.int32)
 
 
 @functools.partial(
@@ -194,12 +214,22 @@ def detection_postprocess_pallas(
     top_anchors = jnp.asarray(anchors, jnp.float32)[top_idx]
     top_boxes = decode_boxes(top_deltas, top_anchors) / input_size
 
-    logits2 = jnp.pad(top_logits, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-    logits2 = logits2.reshape(b, rows, LANES)
+    # Tile images per grid step so each NMS round runs as full-width VPU
+    # work over T images at once. Pad the batch to a tile multiple with
+    # -inf logits -> zero scores -> count 0; sliced off below. T is capped
+    # at 16: the 25 statically-unrolled rounds' (T, R, 128) temporaries all
+    # stay live in Mosaic's scoped VMEM (no cross-round buffer reuse —
+    # measured 32.5 MB at T=64 vs the 16 MB cap).
+    tile = min(b, 16)
+    bpad = -(-b // tile) * tile - b
+
+    logits2 = jnp.pad(top_logits, ((0, bpad), (0, pad)),
+                      constant_values=-jnp.inf)
+    logits2 = logits2.reshape(b + bpad, rows, LANES)
     boxes2 = (
-        jnp.pad(top_boxes, ((0, 0), (0, pad), (0, 0)))
+        jnp.pad(top_boxes, ((0, bpad), (0, pad), (0, 0)))
         .transpose(0, 2, 1)
-        .reshape(b, 4, rows, LANES)
+        .reshape(b + bpad, 4, rows, LANES)
     )
 
     kernel = functools.partial(
@@ -210,28 +240,28 @@ def detection_postprocess_pallas(
     )
     scores_out, boxes_out, count_out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=((b + bpad) // tile,),
         in_specs=[
-            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, rows, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4, rows, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, SLOTS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, SLOTS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SLOTS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1, SLOTS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4, SLOTS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1, SLOTS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, SLOTS), jnp.float32),
-            jax.ShapeDtypeStruct((b, 4, SLOTS), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, SLOTS), jnp.int32),
+            jax.ShapeDtypeStruct((b + bpad, 1, SLOTS), jnp.float32),
+            jax.ShapeDtypeStruct((b + bpad, 4, SLOTS), jnp.float32),
+            jax.ShapeDtypeStruct((b + bpad, 1, SLOTS), jnp.int32),
         ],
         interpret=interpret,
     )(logits2, boxes2)
 
-    boxes = boxes_out[:, :, :max_detections].transpose(0, 2, 1)  # (B, D, 4)
+    boxes = boxes_out[:b, :, :max_detections].transpose(0, 2, 1)  # (B, D, 4)
     return Detections(
-        count=count_out[:, 0, 0],
-        scores=scores_out[:, 0, :max_detections],
+        count=count_out[:b, 0, 0],
+        scores=scores_out[:b, 0, :max_detections],
         classes=jnp.zeros((b, max_detections), jnp.int32),
         boxes=boxes,
     )
