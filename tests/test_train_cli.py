@@ -46,6 +46,59 @@ def test_train_model_smoke(tiny_data, tmp_path):
     assert any(re.search(r"val_loss: \d+\.\d+", line) for line in logs)
 
 
+def test_heads_only_freezes_backbone(tiny_data, tmp_path):
+    """--heads_only loads the _whole donor, trains heads, keeps backbone+fpn
+    bit-frozen (reference train.py:24 train_whole_model=False semantics)."""
+    from vbt_tpu.cli.train import train_model
+    from vbt_tpu.runtime.checkpoint import save_params
+
+    donor_trainer = Trainer(get_model_spec("efficientdet_lite0"),
+                            total_steps=10, warmup_steps=1, input_size=128)
+    donor_state = donor_trainer.init_state(seed=7)
+    donor_vars = donor_trainer.variables(donor_state)
+    save_params(str(tmp_path / "efficientdet_lite0_whole.msgpack"), donor_vars)
+
+    logs = []
+    trainer, state, _ = train_model(
+        "efficientdet_lite0", tiny_data, str(tmp_path), epochs=1, batch_size=4,
+        train_whole_model=False, base_lr=0.01, max_steps=2, log_fn=logs.append,
+        input_size=128,
+    )
+    assert any("Heads-only" in line for line in logs)
+    donor_np = np.asarray(donor_vars["params"]["backbone"]["stem"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["stem"]["kernel"]), donor_np)
+    for sub in ("backbone", "fpn"):
+        import jax
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            state.params[sub], donor_vars["params"][sub])
+    # Heads actually trained (init differs from donor seed anyway; assert
+    # they moved from *their own* init under the optimizer).
+    init_state = trainer.init_state(seed=0)
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        state.params["class_net"], init_state.params["class_net"]))
+    assert any(moved)
+
+
+def test_heads_only_missing_donor_raises(tiny_data, tmp_path, monkeypatch):
+    from vbt_tpu.cli.train import train_model
+
+    real_isfile = os.path.isfile
+    monkeypatch.setattr(  # hide the shipped repo donors
+        "os.path.isfile",
+        lambda p: False if str(p).endswith("_whole.msgpack") else real_isfile(p),
+    )
+    with pytest.raises(FileNotFoundError, match="donor backbone"):
+        train_model(
+            "efficientdet_lite2", tiny_data, str(tmp_path / "empty"), epochs=1,
+            batch_size=4, train_whole_model=False, max_steps=1,
+            input_size=128,
+        )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer = Trainer(get_model_spec("efficientdet_lite0"), total_steps=10,
                       warmup_steps=1, input_size=128)

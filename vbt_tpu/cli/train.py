@@ -7,9 +7,11 @@ eval before/after export, and a ``models/{name}.log`` with per-epoch
 ``val_loss`` lines that training_plot.py can parse (training_plot.py:20).
 
 Differences by design: no pretrained ImageNet backbone is available in this
-environment, so ``--train_whole_model`` trains everything from scratch
-(heads-only mode exists for surface parity but is not useful without
-pretrained weights); checkpoints export as flax msgpack instead of .tflite.
+environment, so ``--train_whole_model`` trains everything from scratch, and
+``--heads_only`` freezes our own from-scratch ``{arch}_whole`` backbone+BiFPN
+as the donor feature extractor (reference freezes the COCO-pretrained one via
+Model Maker's var_freeze_expr); checkpoints export as flax msgpack instead of
+.tflite.
 """
 
 from __future__ import annotations
@@ -58,18 +60,53 @@ def train_model(
         total_steps = min(total_steps, max_steps)
     lr = base_lr if base_lr is not None else 0.08 * batch_size / 64.0
 
+    # Heads-only mode (reference train.py:24 train_whole_model=False, i.e.
+    # Model Maker's var_freeze_expr '(efficientnet|fpn_cells|resample_p6)'):
+    # the feature extractor (backbone + BiFPN) is frozen and only the
+    # class/box heads train. The reference freezes a COCO-pretrained
+    # backbone; no pretrained weights exist offline, so the donor here is
+    # our own from-scratch `{architecture}_whole.msgpack` — the same
+    # "frozen general extractor + cheap task heads" artifact contract.
+    freeze = () if train_whole_model else ("backbone", "fpn")
+
     trainer = Trainer(
         spec,
         base_lr=lr,
         total_steps=total_steps,
         warmup_steps=max(total_steps // 20, 1),
         input_size=size,
+        freeze_top_keys=freeze,
     )
     state = trainer.init_state(seed=seed)
 
-    # TODO(heads-only): without pretrained backbones, freezing is pointless;
-    # train_whole_model only affects the exported name, as documented.
-    del train_whole_model
+    if freeze:
+        from vbt_tpu.runtime.checkpoint import load_params
+
+        donor_name = f"{architecture}_whole.msgpack"
+        repo_models = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "models")
+        candidates = [os.path.join(d, donor_name)
+                      for d in (export_dir, repo_models)]
+        donor_path = next((p for p in candidates if os.path.isfile(p)), None)
+        if donor_path is None:
+            raise FileNotFoundError(
+                f"--heads_only needs a trained donor backbone: none of "
+                f"{candidates} exists. Train the _whole variant first."
+            )
+        donor = load_params(
+            donor_path,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        params = {k: (donor["params"][k] if k in freeze else v)
+                  for k, v in state.params.items()}
+        stats = {k: (donor["batch_stats"][k] if k in freeze else v)
+                 for k, v in state.batch_stats.items()}
+        state = state._replace(
+            params=params, batch_stats=stats, ema_params=params,
+            opt_state=trainer.tx.init(params),
+        )
+        log_fn(f"Heads-only: froze backbone+fpn from {donor_path}")
 
     from vbt_tpu.runtime.checkpoint import (
         latest_train_checkpoint,

@@ -32,7 +32,11 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(
-    base_lr: float, total_steps: int, warmup_steps: int, weight_decay: float = 4e-5
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int,
+    weight_decay: float = 4e-5,
+    freeze_top_keys: tuple = (),
 ):
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
@@ -50,14 +54,24 @@ def make_optimizer(
 
         return jax.tree_util.tree_map_with_path(keep, params)
 
-    return (
-        optax.chain(
-            optax.clip_by_global_norm(10.0),
-            optax.add_decayed_weights(weight_decay, mask=decay_mask),
-            optax.sgd(schedule, momentum=0.9, nesterov=False),
-        ),
-        schedule,
-    )
+    transforms = [
+        optax.clip_by_global_norm(10.0),
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        optax.sgd(schedule, momentum=0.9, nesterov=False),
+    ]
+    if freeze_top_keys:
+        # Heads-only mode (reference train.py:train_whole_model=False ->
+        # Model Maker var_freeze_expr '(efficientnet|fpn_cells|resample_p6)'):
+        # zero the final updates for the frozen top-level subtrees so those
+        # parameters stay at their loaded values.
+        def freeze_mask(params):
+            return {
+                k: jax.tree.map(lambda _: k in freeze_top_keys, sub)
+                for k, sub in params.items()
+            }
+
+        transforms.append(optax.masked(optax.set_to_zero(), freeze_mask))
+    return optax.chain(*transforms), schedule
 
 
 class Trainer:
@@ -73,8 +87,10 @@ class Trainer:
         mesh=None,
         input_size: int | None = None,
         ema_decay: float = 0.9998,
+        freeze_top_keys: tuple = (),
     ):
         self.ema_decay = ema_decay
+        self.freeze_top_keys = tuple(freeze_top_keys)
         self.spec = spec
         self.input_size = input_size or spec.input_size
         self.model = EfficientDet(spec, dtype=dtype)
@@ -84,7 +100,10 @@ class Trainer:
 
             cfg = replace(cfg, input_size=self.input_size)
         self.anchors = jnp.asarray(generate_anchors(cfg))
-        self.tx, self.schedule = make_optimizer(base_lr, total_steps, warmup_steps)
+        self.tx, self.schedule = make_optimizer(
+            base_lr, total_steps, warmup_steps,
+            freeze_top_keys=self.freeze_top_keys,
+        )
         self.mesh = mesh
         self._step = jax.jit(functools.partial(_train_step_impl, self))
         self._eval_forward = jax.jit(functools.partial(_eval_forward_impl, self))
@@ -146,6 +165,14 @@ def _train_step_impl(trainer: Trainer, state: TrainState, batch):
     (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
+    if trainer.freeze_top_keys:
+        # Frozen subtrees keep their loaded BatchNorm statistics too: a
+        # frozen feature extractor must normalize with the stats it was
+        # trained with, not drift toward the fine-tuning batches.
+        new_stats = {
+            k: (state.batch_stats[k] if k in trainer.freeze_top_keys else v)
+            for k, v in new_stats.items()
+        }
     updates, new_opt = trainer.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     # Parameter EMA with warmup-aware decay (min(decay, (1+t)/(10+t)) is the
