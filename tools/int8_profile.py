@@ -1,0 +1,163 @@
+"""Per-op / per-stage int8-vs-bf16 profile on the real chip.
+
+Closes the "int8 delivers no speedup" question with data instead of
+inference (RESULTS.md int8 note). Three measurements, all with the honest
+marginal-readback methodology (see bench.py / CLAUDE.md):
+
+1. Whole-model forward (shipped lite0 checkpoint, calibrated scales),
+   bf16 vs int8, at batch 64/128/256 — the serving configurations.
+2. Stage split (backbone vs BiFPN+heads) in both modes — localizes where
+   the int8 path spends its time.
+3. Conv micro-ablation on representative lite0 layer shapes: bf16 conv vs
+   the full QuantConv int8 path (quantize input -> s8xs8->s32 -> dequant)
+   vs the bare int8 MXU core (pre-quantized int8 operands, int32 output,
+   no q/dq chains). core/bf16 is the physical MXU headroom; qdq/bf16 is
+   what a network actually sees after the elementwise quantize/dequantize
+   traffic.
+
+The reference ships int8 because its CPU XNNPACK backend requires it
+(train.py:67 export + evaluate_tflite); on TPU int8 is a choice that has
+to pay for its q/dq bandwidth. Usage: python -m tools.int8_profile
+(idle chip required — do not run while training holds the TPU).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vbt_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from vbt_tpu.ops.preprocess import preprocess_frames
+from vbt_tpu.runtime.pipeline import DetectionPipeline
+
+N_SHORT, N_LONG, TRIALS = 8, 40, 3
+
+
+def marginal_ms(fn, *args):
+    def run(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        return time.perf_counter() - t0
+
+    run(2)
+    rates = []
+    for _ in range(TRIALS):
+        ts = run(N_SHORT)
+        tl = run(N_LONG)
+        rates.append((tl - ts) / (N_LONG - N_SHORT))
+    return float(np.median(rates)) * 1e3
+
+
+def conv_micro(batch, h, w, cin, cout, k, stride):
+    """bf16 vs int8-with-q/dq vs int8-core for one conv shape."""
+    rng = np.random.default_rng(0)
+    x_f = jnp.asarray(rng.normal(size=(batch, h, w, cin)), jnp.bfloat16)
+    w_f = jnp.asarray(rng.normal(size=(k, k, cin, cout)), jnp.bfloat16)
+    x_i = jnp.asarray(rng.integers(-127, 128, size=(batch, h, w, cin)), jnp.int8)
+    w_i = jnp.asarray(rng.integers(-127, 128, size=(k, k, cin, cout)), jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(
+        x_f.shape, w_f.shape, ("NHWC", "HWIO", "NHWC"))
+
+    @jax.jit
+    def bf16(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "SAME", dimension_numbers=dn)
+
+    @jax.jit
+    def int8_qdq(x, w):
+        # The QuantConv int8 path: per-tensor activation quantize, conv in
+        # int8 with s32 accumulation, dequantize with the product scale.
+        sx = jnp.float32(0.05)
+        sw = jnp.float32(0.02)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                      ).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq, w, (stride, stride), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * (sx * sw)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def int8_core(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    macs = (h // stride) * (w // stride) * cout * cin * k * k * batch
+    return {
+        "shape": f"{batch}x{h}x{w}x{cin}->{cout} k{k}s{stride}",
+        "gmacs": macs / 1e9,
+        "bf16_ms": marginal_ms(bf16, x_f, w_f),
+        "int8_qdq_ms": marginal_ms(int8_qdq, x_i.astype(jnp.bfloat16), w_i),
+        "int8_core_ms": marginal_ms(int8_core, x_i, w_i),
+    }
+
+
+def main():
+    rng = np.random.default_rng(0)
+    bf16_pipe = DetectionPipeline.from_model_arg(
+        "models/efficientdet_lite0_whole.msgpack", dtype=jnp.bfloat16)
+    size = bf16_pipe.spec.input_size
+    calib = rng.integers(0, 255, size=(16, size, size, 3)).astype(np.uint8)
+    int8_pipe = bf16_pipe.calibrate(calib)
+
+    report = {"whole_model": [], "stages": [], "conv_micro": []}
+
+    for batch in (64, 128, 256):
+        frames = jnp.asarray(
+            rng.integers(0, 255, size=(batch, size, size, 3)), jnp.uint8)
+        row = {"batch": batch}
+        for tag, pipe in (("bf16", bf16_pipe), ("int8", int8_pipe)):
+            row[f"{tag}_ms"] = marginal_ms(pipe._forward, pipe.variables, frames)
+        row["speedup"] = row["bf16_ms"] / row["int8_ms"]
+        report["whole_model"].append(row)
+        print(json.dumps(row))
+
+    # Stage split at batch 128 (the serving sweet spot).
+    batch = 128
+    frames = jnp.asarray(
+        rng.integers(0, 255, size=(batch, size, size, 3)), jnp.uint8)
+    images = jax.jit(
+        lambda f: preprocess_frames(f, size, dtype=jnp.bfloat16))(frames)
+    for tag, pipe in (("bf16", bf16_pipe), ("int8", int8_pipe)):
+        model, variables, quant = pipe._model, pipe.variables, pipe.quant
+
+        bb = jax.jit(lambda x, v=variables, q=quant: model.apply(
+            v, x, False, q,
+            method=lambda m, x, train, qq: m.backbone(x, train, qq)))
+        feats = bb(images)
+        nh = jax.jit(lambda f, v=variables, q=quant: model.apply(
+            v, f, False, q, method="neck_and_heads"))
+        row = {
+            "stage_profile": tag,
+            "backbone_ms": marginal_ms(bb, images),
+            "neck_heads_ms": marginal_ms(nh, feats),
+        }
+        report["stages"].append(row)
+        print(json.dumps(row))
+
+    # Representative lite0 conv shapes (stem / mid pointwise / head).
+    for shape in [
+        (128, 320, 320, 3, 32, 3, 2),     # stem
+        (128, 20, 20, 112, 672, 1, 1),    # late pointwise expand
+        (128, 10, 10, 1152, 320, 1, 1),   # final stage pointwise
+        (128, 40, 40, 64, 64, 3, 1),      # BiFPN/head 3x3 at P3
+    ]:
+        row = conv_micro(*shape)
+        report["conv_micro"].append(row)
+        print(json.dumps(row))
+
+    with open("/tmp/int8_profile.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote /tmp/int8_profile.json")
+
+
+if __name__ == "__main__":
+    main()

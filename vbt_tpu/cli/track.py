@@ -338,6 +338,9 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
     and create a dataframe containing the detected objects their raw
     and filtered positions and velocities at specific times in the video."""
     del display_image_height, threads  # display path accepts native size
+    import jax
+    import jax.numpy as jnp
+
     from vbt_tpu.runtime.pipeline import DetectionPipeline
     from vbt_tpu.utils.cache import enable_persistent_cache
 
@@ -352,7 +355,15 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
 
     from vbt_tpu.utils.profiling import StageTimer, trace
 
-    detector = DetectionPipeline.from_model_arg(model)
+    # Platform-adaptive serving dtype, same policy as cli/stream.py:67:
+    # bf16 on TPU (MXU-native; AP impact measured nil at eval), f32 on CPU
+    # where the golden-replay tests run.
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    detector = DetectionPipeline.from_model_arg(
+        model, use_pallas=on_tpu,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
     timer = StageTimer()
 
     with trace(profile_dir):
