@@ -83,6 +83,31 @@ def test_heads_only_freezes_backbone(tiny_data, tmp_path):
     assert any(moved)
 
 
+def test_init_from_warm_start(tiny_data, tmp_path):
+    """--init_from seeds params+batch_stats from an exported msgpack with a
+    fresh optimizer (soup fine-tune entry point)."""
+    from vbt_tpu.cli.train import train_model
+    from vbt_tpu.runtime.checkpoint import save_params
+
+    donor_trainer = Trainer(get_model_spec("efficientdet_lite0"),
+                            total_steps=10, warmup_steps=1, input_size=128)
+    donor_vars = donor_trainer.variables(donor_trainer.init_state(seed=11))
+    donor_path = str(tmp_path / "soup.msgpack")
+    save_params(donor_path, donor_vars)
+
+    logs = []
+    _, state, _ = train_model(
+        "efficientdet_lite0", tiny_data, str(tmp_path), epochs=1, batch_size=4,
+        train_whole_model=True, base_lr=0.0, max_steps=1, log_fn=logs.append,
+        input_size=128, init_from=donor_path,
+    )
+    assert any("Warm start" in line for line in logs)
+    # lr=0 => params must still equal the donor after the step.
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["stem"]["kernel"]),
+        np.asarray(donor_vars["params"]["backbone"]["stem"]["kernel"]))
+
+
 def test_heads_only_missing_donor_raises(tiny_data, tmp_path, monkeypatch):
     from vbt_tpu.cli.train import train_model
 

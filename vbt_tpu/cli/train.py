@@ -47,6 +47,7 @@ def train_model(
     checkpoint_every: int = 0,
     resume: bool = False,
     mosaic_p: float = 0.5,
+    init_from: str | None = None,
 ):
     spec = get_model_spec(architecture)
     size = input_size or spec.input_size
@@ -107,6 +108,24 @@ def train_model(
             opt_state=trainer.tx.init(params),
         )
         log_fn(f"Heads-only: froze backbone+fpn from {donor_path}")
+
+    if init_from:
+        # Warm start: seed the whole parameter set (params + batch stats)
+        # from an exported .msgpack (e.g. a checkpoint soup) and train on —
+        # fresh optimizer/schedule, unlike --resume which restores the full
+        # TrainState mid-schedule.
+        from vbt_tpu.runtime.checkpoint import load_params
+
+        donor = load_params(
+            init_from,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state._replace(
+            params=donor["params"], batch_stats=donor["batch_stats"],
+            ema_params=donor["params"],
+            opt_state=trainer.tx.init(donor["params"]),
+        )
+        log_fn(f"Warm start from {init_from}")
 
     from vbt_tpu.runtime.checkpoint import (
         latest_train_checkpoint,
@@ -184,9 +203,12 @@ def train_model(
 @click.option("--resume", is_flag=True, help="Resume from the latest checkpoint.")
 @click.option("--mosaic_p", default=0.5, type=float, show_default=True,
               help="Per-image probability of 4-image mosaic augmentation.")
+@click.option("--init_from", default=None,
+              help="Warm-start params/batch_stats from an exported .msgpack "
+                   "(fresh optimizer; unlike --resume).")
 def main(data_dir, export_dir, architecture, epochs, batch_size,
          train_whole_model, lr, seed, max_steps, checkpoint_dir,
-         checkpoint_every, resume, mosaic_p):
+         checkpoint_every, resume, mosaic_p, init_from):
     """Train a barbell detector and export it with COCO-style evaluation."""
     from vbt_tpu.utils.cache import enable_persistent_cache
 
@@ -206,6 +228,7 @@ def main(data_dir, export_dir, architecture, epochs, batch_size,
         train_whole_model, base_lr=lr, seed=seed, max_steps=max_steps,
         log_fn=log_fn, checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every, resume=resume, mosaic_p=mosaic_p,
+        init_from=init_from,
     )
 
     print("Evaluating the exported model...")
