@@ -89,13 +89,11 @@ def main(int8: bool = False, turbo: bool = False):
 
     enable_persistent_cache()
     from vbt_tpu.models import get_model_spec
-    from vbt_tpu.runtime.pipeline import DetectionPipeline
+    from vbt_tpu.runtime.pipeline import DetectionPipeline, serving_config
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon")
+    on_tpu, dtype = serving_config()
 
     spec = get_model_spec("efficientdet_lite0")
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     # Bench the shipped artifact when present (real score distributions
     # exercise the NMS early-exit behavior); random init is the fallback
     # so the bench still runs in a fresh checkout.

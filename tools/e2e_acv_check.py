@@ -29,16 +29,13 @@ def main(reps, fps, seconds, model):
     from vbt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    import jax
-    import jax.numpy as jnp
-
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tools.make_demo_video import synthesize
     from vbt_tpu.analysis.phase import CONCENTRIC
     from vbt_tpu.cli.plot import analyze_phases, smooth_track_df
     from vbt_tpu.cli.track import track_one
     from vbt_tpu.contract.schema import build_track_df, max_travel_id
-    from vbt_tpu.runtime.pipeline import DetectionPipeline
+    from vbt_tpu.runtime.pipeline import DetectionPipeline, serving_config
 
     with tempfile.TemporaryDirectory() as d:
         video = os.path.join(d, "demo.mp4")
@@ -56,11 +53,9 @@ def main(reps, fps, seconds, model):
             if p.type == CONCENTRIC
         ]
 
-        platform = jax.devices()[0].platform
-        on_tpu = platform in ("tpu", "axon")
+        on_tpu, dtype = serving_config()
         pipeline = DetectionPipeline.from_model_arg(
-            model, use_pallas=on_tpu,
-            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            model, use_pallas=on_tpu, dtype=dtype,
         )
         data = track_one(pipeline, video, detection_treshold=0.5,
                          tracker_kind="scan")

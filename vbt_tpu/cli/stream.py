@@ -50,38 +50,37 @@ def run_stream(
     deterministic pixel detector); by default it is resolved from
     ``model`` exactly like track.py --model.
     """
-    import jax.numpy as jnp
-
     from vbt_tpu.analysis.phase import CONCENTRIC
     from vbt_tpu.io.video import VideoReader
-    from vbt_tpu.runtime.pipeline import DetectionPipeline
+    from vbt_tpu.runtime.pipeline import DetectionPipeline, serving_config
     from vbt_tpu.runtime.streaming import StreamingPipeline
 
-    platform = None
-    try:
-        import jax
-
-        platform = jax.devices()[0].platform
-    except Exception:
-        pass
-    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
-
     if detector is None:
+        on_tpu, dtype = serving_config()
         detector = DetectionPipeline.from_model_arg(
-            model, use_pallas=platform in ("tpu", "axon"), dtype=dtype,
+            model, use_pallas=on_tpu, dtype=dtype,
             allow_random=allow_random,
         )
     reader = VideoReader(src, batch_size=chunk_size)
+    fps = reader.meta.fps
+    if not fps or fps <= 0:
+        # Live captures commonly report CAP_PROP_FPS == 0; a zero fps would
+        # divide-by-zero in the timestamp math, so assume a webcam default.
+        fps = 30.0
+        print("source reports no fps; assuming 30.0", file=out, flush=True)
     pipe = StreamingPipeline(
         detector=detector,
-        fps=reader.meta.fps,
+        fps=fps,
         detection_threshold=detection_threshold,
         plate_diameter=plate_diameter,
         follow_id=follow_id,
     )
 
-    # Keyed by time_start: the retro-filter can retire printed reps.
-    announced: dict[float, object] = {}
+    # Keyed by time_start: the retro-filter can retire printed reps. Live
+    # rep numbers follow announcement order (stable even after an earlier
+    # rep retires); the final summary re-lists the canonical numbering.
+    announced: dict[float, int] = {}
+    next_rep = 1
     for frames, frame_valid, _ in reader:
         keep = int(frame_valid.sum())
         if keep == 0:
@@ -93,14 +92,16 @@ def run_stream(
         current = {p.time_start: p for p in conc}
         for gone in [t for t in announced if t not in current]:
             print(
-                f"(rep at t={gone:.2f}s retired by a larger rep)",
+                f"(rep {announced[gone]} at t={gone:.2f}s retired by a "
+                f"larger rep)",
                 file=out, flush=True,
             )
             del announced[gone]
-        for i, p in enumerate(conc, 1):
+        for p in conc:
             if p.time_start not in announced:
-                print(_fmt_rep(i, p), file=out, flush=True)
-                announced[p.time_start] = p
+                announced[p.time_start] = next_rep
+                print(_fmt_rep(next_rep, p), file=out, flush=True)
+                next_rep += 1
 
     phases = pipe.phases()
     conc = [p for p in phases if p.type == CONCENTRIC]

@@ -339,9 +339,8 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
     and filtered positions and velocities at specific times in the video."""
     del display_image_height, threads  # display path accepts native size
     import jax
-    import jax.numpy as jnp
 
-    from vbt_tpu.runtime.pipeline import DetectionPipeline
+    from vbt_tpu.runtime.pipeline import DetectionPipeline, serving_config
     from vbt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -355,14 +354,12 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
 
     from vbt_tpu.utils.profiling import StageTimer, trace
 
-    # Platform-adaptive serving dtype, same policy as cli/stream.py:67:
+    # Platform-adaptive serving dtype (runtime/pipeline.py serving_config):
     # bf16 on TPU (MXU-native; AP impact measured nil at eval), f32 on CPU
     # where the golden-replay tests run.
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon")
+    on_tpu, dtype = serving_config()
     detector = DetectionPipeline.from_model_arg(
-        model, use_pallas=on_tpu,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        model, use_pallas=on_tpu, dtype=dtype,
     )
     timer = StageTimer()
 

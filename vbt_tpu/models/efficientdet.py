@@ -95,19 +95,25 @@ class EfficientDet(nn.Module):
             final_bias_prior=0.01,
         )
 
-    def __call__(self, images: jnp.ndarray, train: bool = False, quant: str = "off"):
-        feats = self.backbone(images, train, quant)
-        return self.neck_and_heads(feats, train, quant)
+    def __call__(self, images: jnp.ndarray, train: bool = False, quant: str = "off",
+                 frozen: tuple = ()):
+        feats = self.backbone(images, train and "backbone" not in frozen, quant)
+        return self.neck_and_heads(feats, train, quant, frozen=frozen)
 
     def neck_and_heads(self, feats: dict[int, jnp.ndarray], train: bool = False,
-                       quant: str = "off"):
+                       quant: str = "off", frozen: tuple = ()):
         """BiFPN + prediction heads on precomputed backbone feature taps.
 
         Public method target for ``model.apply(..., method='neck_and_heads')``
         — the turbo backbone (models/turbo.py) computes the taps with fused
         Pallas MBConv kernels and re-enters the flax graph here.
+
+        ``frozen`` (heads-only training, cli/train.py): subtrees named in it
+        run in inference mode even when ``train=True`` — their BatchNorm
+        normalizes with the donor's running statistics, so the heads fit
+        features identical to what the frozen extractor produces at serving.
         """
-        feats = self.fpn(feats, train, quant)
+        feats = self.fpn(feats, train and "fpn" not in frozen, quant)
         box_maps = self.box_net(feats, train, quant)
         cls_maps = self.class_net(feats, train, quant)
 

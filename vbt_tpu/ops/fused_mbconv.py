@@ -58,13 +58,16 @@ class TapSpec:
 
 def enumerate_taps(k: int, stride: int, h: int, w: int) -> tuple[list[TapSpec], int, int]:
     """(taps, Ho, Wo) for a SAME-padded k x k depthwise at the given stride."""
+    assert stride in (1, 2), "phase-plane decomposition covers strides 1/2"
     ho, wo = -(-h // stride), -(-w // stride)
-    pad_lo = max((ho - 1) * stride + k - h, 0) // 2
+    # SAME padding is computed per axis (XLA semantics): h and w can differ.
+    pad_lo_y = max((ho - 1) * stride + k - h, 0) // 2
+    pad_lo_x = max((wo - 1) * stride + k - w, 0) // 2
     taps = []
     for ty in range(k):
-        dy = ty - pad_lo
+        dy = ty - pad_lo_y
         for tx in range(k):
-            dx = tx - pad_lo
+            dx = tx - pad_lo_x
             if stride == 1:
                 plane, oy, ox = 0, dy, dx
             else:

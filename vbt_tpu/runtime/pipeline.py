@@ -29,6 +29,22 @@ from vbt_tpu.runtime.checkpoint import load_params
 MAX_DETECTIONS = 25  # the TFLite postprocess contract (SURVEY.md §2.3)
 
 
+def serving_config() -> tuple[bool, Any]:
+    """The one serving-platform policy: returns ``(on_tpu, dtype)``.
+
+    TPU backends ('tpu', or the axon dev tunnel) serve bf16 with the Pallas
+    kernels; everything else (CPU test/golden lanes) serves f32. Every CLI
+    and bench resolves its pipeline through this so a policy change lands
+    everywhere at once.
+    """
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = None
+    on_tpu = platform in ("tpu", "axon")
+    return on_tpu, (jnp.bfloat16 if on_tpu else jnp.float32)
+
+
 def resolve_model(model: str) -> tuple[ModelSpec, str | None]:
     """Map a --model argument to (spec, checkpoint_path_or_None).
 
@@ -136,6 +152,12 @@ class DetectionPipeline:
         and return a new pipeline running the int8 inference path."""
         from vbt_tpu.models.quant import calibrate as calibrate_quant
 
+        if self.backbone != "xla":
+            # QuantConv int8 lives in the flax/XLA conv path; the turbo
+            # Pallas backbone would silently ignore quant='int8'.
+            raise ValueError(
+                f"int8 calibration requires the 'xla' backbone, not "
+                f"'{self.backbone}' — drop --turbo for the int8 path")
         images = jax.jit(
             functools.partial(
                 preprocess_frames,

@@ -47,23 +47,25 @@ def make_optimizer(
     )
 
     def decay_mask(params):
-        # No weight decay on biases and BatchNorm scale/bias.
+        # No weight decay on biases and BatchNorm scale/bias, and none on
+        # frozen subtrees (their updates must be exactly zero).
         def keep(path, _):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            return name not in ("bias", "scale")
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return name not in ("bias", "scale") and top not in freeze_top_keys
 
         return jax.tree_util.tree_map_with_path(keep, params)
 
-    transforms = [
-        optax.clip_by_global_norm(10.0),
-        optax.add_decayed_weights(weight_decay, mask=decay_mask),
-        optax.sgd(schedule, momentum=0.9, nesterov=False),
-    ]
+    transforms = []
     if freeze_top_keys:
         # Heads-only mode (reference train.py:train_whole_model=False ->
         # Model Maker var_freeze_expr '(efficientnet|fpn_cells|resample_p6)'):
-        # zero the final updates for the frozen top-level subtrees so those
-        # parameters stay at their loaded values.
+        # zero the frozen top-level subtrees' gradients BEFORE global-norm
+        # clipping, so frozen-extractor gradients cannot inflate the norm
+        # and shrink the head updates that actually train (the reference's
+        # var_freeze_expr excludes frozen vars from the optimizer entirely).
+        # With zero incoming grads and decay_mask excluding the frozen
+        # keys, SGD momentum stays identically zero for them.
         def freeze_mask(params):
             return {
                 k: jax.tree.map(lambda _: k in freeze_top_keys, sub)
@@ -71,6 +73,11 @@ def make_optimizer(
             }
 
         transforms.append(optax.masked(optax.set_to_zero(), freeze_mask))
+    transforms += [
+        optax.clip_by_global_norm(10.0),
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        optax.sgd(schedule, momentum=0.9, nesterov=False),
+    ]
     return optax.chain(*transforms), schedule
 
 
@@ -157,6 +164,7 @@ def _train_step_impl(trainer: Trainer, state: TrainState, batch):
             {"params": params, "batch_stats": state.batch_stats},
             images,
             train=True,
+            frozen=trainer.freeze_top_keys,
             mutable=["batch_stats"],
         )
         total, metrics = detection_loss(deltas, logits, box_t, cls_t, pos, ign)
@@ -166,9 +174,9 @@ def _train_step_impl(trainer: Trainer, state: TrainState, batch):
         state.params
     )
     if trainer.freeze_top_keys:
-        # Frozen subtrees keep their loaded BatchNorm statistics too: a
-        # frozen feature extractor must normalize with the stats it was
-        # trained with, not drift toward the fine-tuning batches.
+        # Frozen subtrees ran with use_running_average (frozen= above), so
+        # their stats come through unchanged already; restoring them here
+        # keeps the invariant explicit and guards against future BN modes.
         new_stats = {
             k: (state.batch_stats[k] if k in trainer.freeze_top_keys else v)
             for k, v in new_stats.items()
