@@ -138,8 +138,13 @@ def create_detections_df(models, img_dir, annotations, export_path):
     return df
 
 
-def plot_precision_recall(df, fig_dir, iou_threshold, score_thresholds=None):
-    """PR curves per model with AP annotations (eval.py:218-338)."""
+def plot_precision_recall(df, fig_dir, iou_threshold, score_thresholds=None,
+                          fmt="pdf"):
+    """PR curves per model with AP annotations (eval.py:218-338).
+
+    ``fmt`` selects the combined-figure format (docs/ ships PNG renders of
+    the same curves, reference docs/precision_recall_iou_0.75.png).
+    """
     import matplotlib.pyplot as plt
     import seaborn as sns
     from matplotlib.ticker import MultipleLocator
@@ -181,7 +186,8 @@ def plot_precision_recall(df, fig_dir, iou_threshold, score_thresholds=None):
     ax.grid(which="major", color="gray", linestyle="-", linewidth=0.5, alpha=0.7)
     ax.grid(which="minor", color="gray", linestyle=":", linewidth=0.5, alpha=0.5)
     plt.tight_layout()
-    plt.savefig(os.path.join(fig_dir, f"precision_recall_iou_{iou_threshold}.pdf"))
+    plt.savefig(os.path.join(
+        fig_dir, f"precision_recall_iou_{iou_threshold}.{fmt}"), dpi=300)
     plt.close()
 
     if score_thresholds:
@@ -231,7 +237,7 @@ def _model_colors(handles, labels):
     return colors
 
 
-def plot_roc(df, fig_dir, iou_threshold, score_thresholds=None):
+def plot_roc(df, fig_dir, iou_threshold, score_thresholds=None, fmt="pdf"):
     """ROC curves per model with AUC annotations (eval.py:341-468)."""
     import matplotlib.pyplot as plt
     import seaborn as sns
@@ -267,7 +273,7 @@ def plot_roc(df, fig_dir, iou_threshold, score_thresholds=None):
     ax.grid(which="major", color="gray", linestyle="-", linewidth=0.5, alpha=0.7)
     ax.grid(which="minor", color="gray", linestyle=":", linewidth=0.5, alpha=0.5)
     plt.tight_layout()
-    plt.savefig(os.path.join(fig_dir, f"roc_iou_{iou_threshold}.pdf"))
+    plt.savefig(os.path.join(fig_dir, f"roc_iou_{iou_threshold}.{fmt}"), dpi=300)
     plt.close()
 
     if score_thresholds:
