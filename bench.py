@@ -85,7 +85,31 @@ def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, floa
 
 
 def main(int8: bool = False, turbo: bool = False):
+    import sys
+
     from vbt_tpu.utils.cache import enable_persistent_cache
+    from vbt_tpu.utils.health import TPUUnhealthyError, require_healthy_tpu
+
+    # Fail FAST on a wedged/degraded tunnel: emit an explicit invalid-JSON
+    # verdict within the probe deadline instead of hanging inside the first
+    # compile/readback until an external timeout (round 3 lost both bench
+    # captures exactly that way — BENCH_r03.json rc=124, parsed null).
+    try:
+        require_healthy_tpu(context="bench")
+    except TPUUnhealthyError as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "efficientdet_lite0_320_detection_throughput",
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": None,
+                    "invalid": True,
+                    "reason": str(e),
+                }
+            )
+        )
+        sys.exit(1)
 
     enable_persistent_cache()
     from vbt_tpu.models import get_model_spec

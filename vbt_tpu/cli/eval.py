@@ -101,6 +101,12 @@ def create_detections_df(models, img_dir, annotations, export_path):
     import cv2
 
     from vbt_tpu.runtime.pipeline import DetectionPipeline
+    from vbt_tpu.utils.health import require_healthy_tpu
+
+    # The only eval path that touches the device; fail fast on a wedged
+    # tunnel instead of hanging in the first detect_batch (round 3 lost a
+    # 61-image eval mid-readback to exactly this).
+    require_healthy_tpu(context="eval")
 
     img_files = sorted(glob.glob(f"{img_dir}/*.jpg"))
     scores, model_col, ious = [], [], []

@@ -129,8 +129,10 @@ def main(src, model, detection_treshold, chunk_size, plate_diameter, follow_id):
     """Stream SRC (a video file path, or a camera index like '0') through
     detect -> track -> phase analysis, printing per-rep ROM / ACV live."""
     from vbt_tpu.utils.cache import enable_persistent_cache
+    from vbt_tpu.utils.health import require_healthy_tpu
 
     enable_persistent_cache()
+    require_healthy_tpu(context="stream")  # fail fast on a wedged tunnel
     if src.isdigit():  # camera index, as cv2.VideoCapture accepts
         src = int(src)
     run_stream(

@@ -49,19 +49,32 @@ def collect_detections(detector, src: str, threshold: float, batch_size: int = 6
     Returns (dets (T, 25, 6) normalized, valid (T, 25), meta).
     """
     reader = VideoReader(src, batch_size=batch_size)
-    # Dispatch is async: queue EVERY batch's detect program first, convert
-    # afterwards. The device chews through the queue while the host decodes
-    # the next frames, and the per-batch host readback (which pays the full
-    # dispatch+sync round trip — ~27 ms on the axon tunnel) is paid once at
-    # drain time instead of serializing every batch.
-    pending = []
-    for frames, frame_valid, _ in reader:
-        pending.append((detector.detect_batch(frames), int(frame_valid.sum())))
+    # Dispatch is async: queue detect programs ahead of the drain so the
+    # device chews through the queue while the host decodes the next frames,
+    # and the per-batch host readback (which pays the full dispatch+sync
+    # round trip — ~27 ms on the axon tunnel) overlaps device compute.
+    # Depth is BOUNDED: each in-flight dispatch pins a full-resolution uint8
+    # frame batch in HBM until it executes, so an unbounded queue can
+    # accumulate multi-GB of resident inputs on long/high-res videos
+    # (worst during backend degradation windows where execution runs
+    # 10-55x slow while host decode keeps up). 8 batches keeps the overlap
+    # while capping resident inputs at ~8 * batch * H * W * 3 bytes.
+    max_in_flight = 8
+    pending: list = []
     all_rows, all_valid = [], []
-    for det, keep in pending:
+
+    def _drain_one():
+        det, keep = pending.pop(0)
         rows, valid = detector.detections_to_tracker_inputs(det, threshold)
         all_rows.append(rows[:keep])
         all_valid.append(valid[:keep])
+
+    for frames, frame_valid, _ in reader:
+        pending.append((detector.detect_batch(frames), int(frame_valid.sum())))
+        if len(pending) > max_in_flight:
+            _drain_one()
+    while pending:
+        _drain_one()
     if not all_rows:
         return np.zeros((0, D_CAP, 6)), np.zeros((0, D_CAP), bool), reader.meta
     return np.concatenate(all_rows), np.concatenate(all_valid), reader.meta
@@ -342,8 +355,10 @@ def main(src, model, detection_treshold, display_image_height, df_dir, video_dir
 
     from vbt_tpu.runtime.pipeline import DetectionPipeline, serving_config
     from vbt_tpu.utils.cache import enable_persistent_cache
+    from vbt_tpu.utils.health import require_healthy_tpu
 
     enable_persistent_cache()
+    require_healthy_tpu(context="track")  # fail fast on a wedged tunnel
 
     export_df = df_dir is not None
     export_vid = video_dir is not None

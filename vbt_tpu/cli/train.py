@@ -211,8 +211,10 @@ def main(data_dir, export_dir, architecture, epochs, batch_size,
          checkpoint_every, resume, mosaic_p, init_from):
     """Train a barbell detector and export it with COCO-style evaluation."""
     from vbt_tpu.utils.cache import enable_persistent_cache
+    from vbt_tpu.utils.health import require_healthy_tpu
 
     enable_persistent_cache()
+    require_healthy_tpu(context="train")  # fail fast on a wedged tunnel
     os.makedirs(export_dir, exist_ok=True)
     name = f"{architecture}_whole" if train_whole_model else architecture
     log_path = os.path.join(export_dir, f"{name}.log")

@@ -43,16 +43,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vbt_tpu.ops.postprocess import Detections
+from vbt_tpu.ops.postprocess import NUM_CANDIDATES, Detections
 
 LANES = 128
 SLOTS = 128  # output slots (>= max_detections), one VPU row
-# Top-K prefilter width. 512 is bit-identical to 1024 on the full 61-image
-# reference test set with the shipped checkpoints (round-3 measurement);
-# 256 is NOT (greedy suppression can exhaust the candidate pool before the
-# 25-detection contract fills). Half the tile rows -> half the per-round
-# VPU work inside the kernel.
-NUM_CANDIDATES = 512
+# NUM_CANDIDATES (the top-K prefilter width) is shared with the XLA oracle —
+# one constant in vbt_tpu.ops.postprocess — so the two lanes prefilter
+# identically. See that module's docstring for the 512-vs-256 measurement.
 
 
 def _imax(x):

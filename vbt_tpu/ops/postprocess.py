@@ -12,11 +12,17 @@ by descending score, exactly the contract odt.py expects.
 
 Algorithm (all static shapes, fused under jit):
 1. sigmoid scores, per-class;
-2. top-K candidate prefilter per class (K=256 by default — scores below the
-   25th survivor never matter because NMS only removes candidates);
+2. top-K candidate prefilter per class (K = ``NUM_CANDIDATES``; see below);
 3. decode the K candidates' box deltas against their anchors;
 4. greedy NMS: max_detections rounds of (pick argmax, suppress IoU overlap
    within the same class).
+
+``NUM_CANDIDATES`` is shared with the Pallas lane (:mod:`nms_pallas`
+imports it) so the two paths prefilter identically. 512 is the minimum
+bit-identical width vs an exhaustive K=1024 on the full 61-image reference
+test set (round-3 measurement); 256 is NOT enough — greedy suppression can
+exhaust the candidate pool before the 25-detection contract fills, so a
+narrower prefilter CAN change the output.
 """
 
 from __future__ import annotations
@@ -26,6 +32,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+# Shared prefilter width for BOTH the XLA oracle and the Pallas kernel
+# (nms_pallas re-exports this). Minimum width that is bit-identical to an
+# exhaustive K=1024 prefilter on the full reference test set.
+NUM_CANDIDATES = 512
 
 
 class Detections(NamedTuple):
@@ -126,7 +138,7 @@ def detection_postprocess(
     max_detections: int = 25,
     iou_threshold: float = 0.5,
     score_threshold: float = 0.0,
-    num_candidates: int = 256,
+    num_candidates: int = NUM_CANDIDATES,
 ) -> Detections:
     """Batched decode + NMS. ``deltas`` (B,N,4), ``logits`` (B,N,C)."""
     fn = functools.partial(

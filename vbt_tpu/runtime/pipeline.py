@@ -85,6 +85,15 @@ class DetectionPipeline:
     anchors: np.ndarray = field(init=False)
 
     def __post_init__(self):
+        if self.backbone != "xla" and self.quant != "off":
+            # QuantConv int8 lives in the flax/XLA conv path only; any other
+            # backbone would silently serve non-quantized while reporting
+            # quant='int8'. Enforce at every construction site, not just
+            # calibrate().
+            raise ValueError(
+                f"quant={self.quant!r} requires backbone='xla', got "
+                f"backbone={self.backbone!r}"
+            )
         self.anchors = generate_anchors(self.spec.anchor_config)
         self._model = EfficientDet(self.spec, dtype=self.dtype)
         # detect_batch runs as ONE XLA program (forward + postprocess).
