@@ -31,15 +31,23 @@ from vbt_tpu.contract.parsers import read_voc_annotations  # noqa: E402
 DATA = "/root/reference/data/test"
 
 
-def synthesize(out, reps=4, fps=30.0, seconds=12.0, trajectory_out=None):
+def synthesize(out, reps=4, fps=30.0, seconds=12.0, trajectory_out=None,
+               image=None):
     """Render the pan video; return (n_frames, analytic trajectory dict).
 
     The trajectory is exact by construction: the plate's annotated box is
     fixed in the source image and the window origin y0(t) is scripted, so
     the plate center in frame coordinates is (box_center - origin) and the
     plate size is constant.
+
+    ``image`` pins a specific test-set file instead of the first picker
+    match (the quick e2e lane pins a single-annotated-plate image so the
+    max-travel track selection cannot land on a second plate panning with
+    the same amplitude — tests/test_e2e_acv.py).
     """
     annotations = read_voc_annotations(DATA)
+    if image is not None:
+        annotations = {image: annotations[image]}
     # Pick an image whose plate box leaves room to pan vertically.
     for fname, boxes in sorted(annotations.items()):
         img = cv2.imread(os.path.join(DATA, fname))
