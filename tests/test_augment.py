@@ -147,7 +147,7 @@ def test_device_data_trainer_epoch_runs_and_learns():
     ddt = DeviceDataTrainer(trainer, ds, ds, mosaic_p=0.5)
     key = jax.random.PRNGKey(0)
     losses = []
-    for _ in range(4):
+    for _ in range(4):  # 8 steps total — matches the trainer's LR schedule
         state, metrics, key = ddt.epoch(state, rng, 4, key)
         losses.append(float(np.mean([float(m["loss"]) for m in metrics])))
     assert np.isfinite(losses).all()

@@ -112,6 +112,8 @@ def test_tap_enumeration_matches_xla_same_padding():
         np.testing.assert_array_equal(got, np.asarray(want))
 
 
+@pytest.mark.slow  # 17 s; the kernel-level equality pin
+# (test_turbo_forward_matches_model) stays in the default lane.
 def test_pipeline_turbo_backbone_matches_xla():
     """DetectionPipeline(backbone='turbo') produces the same detections."""
     from vbt_tpu.models import get_model_spec

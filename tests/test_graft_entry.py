@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -33,6 +35,19 @@ def _run_dryrun(env_overrides: dict, n: int = 8):
     )
 
 
+def test_dryrun_multichip_in_process_smoke():
+    """Default-lane guard for the driver hook: run the sharded train step on
+    a 2-device mesh IN PROCESS (the conftest already pins an 8-CPU-device
+    backend, so no subprocess respawn/compile duplication). The two slow
+    variants below exercise the driver's exact subprocess environments."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(2)
+
+
+@pytest.mark.slow  # 52 s each; the in-process smoke above guards the hook in
+# the default lane, the driver runs dryrun_multichip(8) every round
+# (MULTICHIP_r0N.json), and the verify skill drives it before commits.
 def test_dryrun_multichip_under_tpu_session_env():
     """Simulates the driver: JAX_PLATFORMS points at the TPU platform and
     XLA_FLAGS carries no host-device-count override."""
@@ -49,6 +64,7 @@ def test_dryrun_multichip_under_tpu_session_env():
     assert "DRYRUN_OK" in result.stdout
 
 
+@pytest.mark.slow  # see note on the session-env variant above
 def test_dryrun_multichip_with_live_tpu_backend():
     """Simulates a driver process that already initialized a non-CPU backend
     before calling the hook (the exact round-1 failure mode). The hook must

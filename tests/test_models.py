@@ -56,13 +56,16 @@ def test_backbone_scaling_tables():
 
 
 def test_backbone_feature_taps():
+    # 160 input: the tap structure (stride/channel schedule) is size-
+    # independent and the full 320 serving shape is pinned by
+    # test_detector_forward_shapes below — half size quarters the CPU cost.
     model = EfficientNetLite("lite0")
-    x = jnp.zeros((1, 320, 320, 3), jnp.float32)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, train=False)
     feats = model.apply(params, x, train=False)
-    assert feats[3].shape == (1, 40, 40, 40)
-    assert feats[4].shape == (1, 20, 20, 112)
-    assert feats[5].shape == (1, 10, 10, 320)
+    assert feats[3].shape == (1, 20, 20, 40)
+    assert feats[4].shape == (1, 10, 10, 112)
+    assert feats[5].shape == (1, 5, 5, 320)
 
 
 @pytest.mark.parametrize("name", ["efficientdet_lite0"])
@@ -89,7 +92,9 @@ def test_spec_registry_aliases():
 
 @pytest.mark.parametrize("name,backbone_ch", [
     ("efficientdet_lite1", 112),
-    ("efficientdet_lite2", 120),
+    # lite2 is 16 s of CPU compile for the same plumbing one size up; the
+    # slow lane keeps it, lite1 covers the non-lite0 path by default.
+    pytest.param("efficientdet_lite2", 120, marks=pytest.mark.slow),
 ])
 def test_larger_variants_forward_small_input(name, backbone_ch):
     # Full 384/448 inputs are slow on CPU; a 128 input still exercises every

@@ -119,6 +119,9 @@ def test_scan_and_host_trackers_agree(synthetic_video):
     )
 
 
+@pytest.mark.slow  # 11 s; the time-shard carry relay itself is pinned by
+# tests/test_time_shard.py and exercised in the driver's 8-device dryrun —
+# this only re-checks the CLI flag plumbing.
 def test_time_shard_cli_equals_default(synthetic_video):
     """--time_shard output is bit-equal to the plain scan at the CLI level
     (8-device CPU mesh; vbt_tpu.parallel.time_shard)."""

@@ -83,6 +83,8 @@ def test_heads_only_freezes_backbone(tiny_data, tmp_path):
     assert any(moved)
 
 
+@pytest.mark.slow  # 27 s; train_model_smoke + heads_only cover the CLI body
+# in the default lane, this pins only the --init_from seeding semantics.
 def test_init_from_warm_start(tiny_data, tmp_path):
     """--init_from seeds params+batch_stats from an exported msgpack with a
     fresh optimizer (soup fine-tune entry point)."""

@@ -70,6 +70,23 @@ def train_model(
     # "frozen general extractor + cheap task heads" artifact contract.
     freeze = () if train_whole_model else ("backbone", "fpn")
 
+    # Resolve the donor BEFORE paying model init: a missing donor should
+    # fail fast, not after the full parameter tree initializes.
+    donor_path = None
+    if freeze:
+        donor_name = f"{architecture}_whole.msgpack"
+        repo_models = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "models")
+        candidates = [os.path.join(d, donor_name)
+                      for d in (export_dir, repo_models)]
+        donor_path = next((p for p in candidates if os.path.isfile(p)), None)
+        if donor_path is None:
+            raise FileNotFoundError(
+                f"--heads_only needs a trained donor backbone: none of "
+                f"{candidates} exists. Train the _whole variant first."
+            )
+
     trainer = Trainer(
         spec,
         base_lr=lr,
@@ -83,18 +100,6 @@ def train_model(
     if freeze:
         from vbt_tpu.runtime.checkpoint import load_params
 
-        donor_name = f"{architecture}_whole.msgpack"
-        repo_models = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), "models")
-        candidates = [os.path.join(d, donor_name)
-                      for d in (export_dir, repo_models)]
-        donor_path = next((p for p in candidates if os.path.isfile(p)), None)
-        if donor_path is None:
-            raise FileNotFoundError(
-                f"--heads_only needs a trained donor backbone: none of "
-                f"{candidates} exists. Train the _whole variant first."
-            )
         donor = load_params(
             donor_path,
             {"params": state.params, "batch_stats": state.batch_stats},
