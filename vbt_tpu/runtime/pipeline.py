@@ -95,6 +95,14 @@ class DetectionPipeline:
                 f"backbone={self.backbone!r}"
             )
         self.anchors = generate_anchors(self.spec.anchor_config)
+        # Pin the weights on device ONCE. Checkpoints deserialize to host
+        # numpy arrays (flax from_bytes), and a jitted call with host-array
+        # operands re-uploads them every dispatch — over the axon tunnel
+        # that is ~13 MB/call and measured 347 ms/batch vs 11.3 ms with
+        # device-resident weights (30x; round 4). This single line is why
+        # several round-3 "degradation window" readings on checkpoint-loaded
+        # pipelines were 40-50x, while random-init probes stayed fast.
+        self.variables = jax.device_put(self.variables)
         self._model = EfficientDet(self.spec, dtype=self.dtype)
         # detect_batch runs as ONE XLA program (forward + postprocess).
         # Round-2 honest re-measurement showed fusion is neutral in device
