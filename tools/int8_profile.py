@@ -38,7 +38,14 @@ from vbt_tpu.runtime.pipeline import DetectionPipeline
 N_SHORT, N_LONG, TRIALS = 8, 40, 3
 
 
-def marginal_ms(fn, *args):
+def marginal_ms(fn, *args, n_short=N_SHORT, n_long=N_LONG, trials=TRIALS):
+    """Median positive marginal ms/iter between short and long runs.
+
+    Non-positive trials are tunnel hiccups (the short run absorbed a stall
+    bigger than the long run's extra work) and are discarded, exactly like
+    bench.py — keeping them produced negative 'times' in the first
+    round-4 capture. Sub-ms programs need n_long >> the ~27 ms tunnel sync
+    jitter: callers pass larger counts for micro shapes."""
     def run(iters):
         t0 = time.perf_counter()
         out = None
@@ -49,10 +56,13 @@ def marginal_ms(fn, *args):
 
     run(2)
     rates = []
-    for _ in range(TRIALS):
-        ts = run(N_SHORT)
-        tl = run(N_LONG)
-        rates.append((tl - ts) / (N_LONG - N_SHORT))
+    for _ in range(trials):
+        ts = run(n_short)
+        tl = run(n_long)
+        rates.append((tl - ts) / (n_long - n_short))
+    rates = [r for r in rates if r > 0]
+    if not rates:
+        raise RuntimeError("no positive marginal trial (tunnel hiccups)")
     return float(np.median(rates)) * 1e3
 
 
@@ -91,16 +101,23 @@ def conv_micro(batch, h, w, cin, cout, k, stride):
             preferred_element_type=jnp.int32)
 
     macs = (h // stride) * (w // stride) * cout * cin * k * k * batch
+    # Micro shapes run 0.3-2 ms/iter: a 32-iteration marginal window is the
+    # same order as the tunnel's ~27 ms sync jitter, which is how the first
+    # capture got negative times. Use a 180-iteration window + 5 trials.
+    kw = dict(n_short=20, n_long=200, trials=5)
     return {
         "shape": f"{batch}x{h}x{w}x{cin}->{cout} k{k}s{stride}",
         "gmacs": macs / 1e9,
-        "bf16_ms": marginal_ms(bf16, x_f, w_f),
-        "int8_qdq_ms": marginal_ms(int8_qdq, x_i.astype(jnp.bfloat16), w_i),
-        "int8_core_ms": marginal_ms(int8_core, x_i, w_i),
+        "bf16_ms": marginal_ms(bf16, x_f, w_f, **kw),
+        "int8_qdq_ms": marginal_ms(int8_qdq, x_i.astype(jnp.bfloat16), w_i, **kw),
+        "int8_core_ms": marginal_ms(int8_core, x_i, w_i, **kw),
     }
 
 
 def main():
+    import sys
+
+    micro_only = "--micro_only" in sys.argv
     rng = np.random.default_rng(0)
     bf16_pipe = DetectionPipeline.from_model_arg(
         "models/efficientdet_lite0_whole.msgpack", dtype=jnp.bfloat16)
@@ -110,38 +127,43 @@ def main():
 
     report = {"whole_model": [], "stages": [], "conv_micro": []}
 
-    for batch in (64, 128, 256):
+    if not micro_only:
+        for batch in (64, 128, 256):
+            frames = jnp.asarray(
+                rng.integers(0, 255, size=(batch, size, size, 3)), jnp.uint8)
+            row = {"batch": batch}
+            for tag, pipe in (("bf16", bf16_pipe), ("int8", int8_pipe)):
+                row[f"{tag}_ms"] = marginal_ms(
+                    pipe._forward, pipe.variables, frames, trials=5)
+            row["speedup"] = row["bf16_ms"] / row["int8_ms"]
+            report["whole_model"].append(row)
+            print(json.dumps(row))
+
+        # Stage split at batch 128 (the serving sweet spot). NOTE: the
+        # split programs materialize the feature pyramid to HBM as program
+        # outputs/inputs, which the fused forward never does — stage times
+        # overstate the fused cost and are for RELATIVE localization only.
+        batch = 128
         frames = jnp.asarray(
             rng.integers(0, 255, size=(batch, size, size, 3)), jnp.uint8)
-        row = {"batch": batch}
+        images = jax.jit(
+            lambda f: preprocess_frames(f, size, dtype=jnp.bfloat16))(frames)
         for tag, pipe in (("bf16", bf16_pipe), ("int8", int8_pipe)):
-            row[f"{tag}_ms"] = marginal_ms(pipe._forward, pipe.variables, frames)
-        row["speedup"] = row["bf16_ms"] / row["int8_ms"]
-        report["whole_model"].append(row)
-        print(json.dumps(row))
+            model, variables, quant = pipe._model, pipe.variables, pipe.quant
 
-    # Stage split at batch 128 (the serving sweet spot).
-    batch = 128
-    frames = jnp.asarray(
-        rng.integers(0, 255, size=(batch, size, size, 3)), jnp.uint8)
-    images = jax.jit(
-        lambda f: preprocess_frames(f, size, dtype=jnp.bfloat16))(frames)
-    for tag, pipe in (("bf16", bf16_pipe), ("int8", int8_pipe)):
-        model, variables, quant = pipe._model, pipe.variables, pipe.quant
-
-        bb = jax.jit(lambda x, v=variables, q=quant: model.apply(
-            v, x, False, q,
-            method=lambda m, x, train, qq: m.backbone(x, train, qq)))
-        feats = bb(images)
-        nh = jax.jit(lambda f, v=variables, q=quant: model.apply(
-            v, f, False, q, method="neck_and_heads"))
-        row = {
-            "stage_profile": tag,
-            "backbone_ms": marginal_ms(bb, images),
-            "neck_heads_ms": marginal_ms(nh, feats),
-        }
-        report["stages"].append(row)
-        print(json.dumps(row))
+            bb = jax.jit(lambda x, v=variables, q=quant: model.apply(
+                v, x, False, q,
+                method=lambda m, x, train, qq: m.backbone(x, train, qq)))
+            feats = bb(images)
+            nh = jax.jit(lambda f, v=variables, q=quant: model.apply(
+                v, f, False, q, method="neck_and_heads"))
+            row = {
+                "stage_profile": tag,
+                "backbone_ms": marginal_ms(bb, images, trials=5),
+                "neck_heads_ms": marginal_ms(nh, feats, trials=5),
+            }
+            report["stages"].append(row)
+            print(json.dumps(row))
 
     # Representative lite0 conv shapes (stem / mid pointwise / head).
     for shape in [

@@ -41,6 +41,11 @@ def marginal_ms(fn, *args):
         ts = run(N_SHORT)
         tl = run(N_LONG)
         rates.append((tl - ts) / (N_LONG - N_SHORT))
+    # Non-positive marginals are tunnel hiccups (a stall landed inside the
+    # short run); discard them rather than let them poison the median.
+    rates = [r for r in rates if r > 0]
+    if not rates:
+        raise RuntimeError("no positive marginal trial (tunnel hiccups)")
     return float(np.median(rates)) * 1e3
 
 
