@@ -38,14 +38,18 @@ from vbt_tpu.runtime.pipeline import DetectionPipeline
 N_SHORT, N_LONG, TRIALS = 8, 40, 3
 
 
-def marginal_ms(fn, *args, n_short=N_SHORT, n_long=N_LONG, trials=TRIALS):
+def marginal_ms(fn, *args, n_short=N_SHORT, n_long=N_LONG, trials=TRIALS,
+                adaptive=False):
     """Median positive marginal ms/iter between short and long runs.
 
     Non-positive trials are tunnel hiccups (the short run absorbed a stall
     bigger than the long run's extra work) and are discarded, exactly like
     bench.py — keeping them produced negative 'times' in the first
     round-4 capture. Sub-ms programs need n_long >> the ~27 ms tunnel sync
-    jitter: callers pass larger counts for micro shapes."""
+    jitter. ``adaptive=True`` sizes the window from a pilot run instead of
+    fixed counts: the second round-4 capture timed out because a fixed
+    1,100-iteration schedule met a multi-hundred-ms/iter conv (the int8
+    3-channel stem) — aim the marginal window at ~3 s of work instead."""
     def run(iters):
         t0 = time.perf_counter()
         out = None
@@ -55,6 +59,10 @@ def marginal_ms(fn, *args, n_short=N_SHORT, n_long=N_LONG, trials=TRIALS):
         return time.perf_counter() - t0
 
     run(2)
+    if adaptive:
+        pilot = run(3) / 3  # seconds/iter, includes one ~27 ms sync
+        span = max(8, min(400, int(3.0 / max(pilot, 1e-4))))
+        n_short, n_long = max(2, span // 10), span
     rates = []
     for _ in range(trials):
         ts = run(n_short)
@@ -101,10 +109,11 @@ def conv_micro(batch, h, w, cin, cout, k, stride):
             preferred_element_type=jnp.int32)
 
     macs = (h // stride) * (w // stride) * cout * cin * k * k * batch
-    # Micro shapes run 0.3-2 ms/iter: a 32-iteration marginal window is the
-    # same order as the tunnel's ~27 ms sync jitter, which is how the first
-    # capture got negative times. Use a 180-iteration window + 5 trials.
-    kw = dict(n_short=20, n_long=200, trials=5)
+    # Micro shapes span 0.3 ms to >100 ms per iteration: fixed counts either
+    # drown in the ~27 ms sync jitter (first capture: negative times) or
+    # blow the wall deadline (second capture: 1,100 iters of a slow stem).
+    # Adaptive sizing aims each variant's window at ~3 s of device work.
+    kw = dict(trials=5, adaptive=True)
     return {
         "shape": f"{batch}x{h}x{w}x{cin}->{cout} k{k}s{stride}",
         "gmacs": macs / 1e9,
