@@ -84,7 +84,7 @@ def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, floa
     return min(rates), float(np.median(rates))
 
 
-def main(int8: bool = False, turbo: bool = False):
+def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
     import sys
 
     from vbt_tpu.utils.cache import enable_persistent_cache
@@ -128,7 +128,8 @@ def main(int8: bool = False, turbo: bool = False):
     backbone = "turbo" if turbo else "xla"
     if os.path.isfile(ckpt):
         pipeline = DetectionPipeline.from_model_arg(
-            ckpt, use_pallas=on_tpu, dtype=dtype, backbone=backbone
+            ckpt, use_pallas=on_tpu, dtype=dtype, backbone=backbone,
+            prefilter=prefilter,
         )
     else:
         pipeline = DetectionPipeline(
@@ -137,6 +138,7 @@ def main(int8: bool = False, turbo: bool = False):
             use_pallas=on_tpu,
             dtype=dtype,
             backbone=backbone,
+            prefilter=prefilter,
         )
 
     rng = np.random.default_rng(0)
@@ -189,6 +191,8 @@ def main(int8: bool = False, turbo: bool = False):
         metric += "_int8"
     if turbo:
         metric += "_turbo"
+    if prefilter != "exact":
+        metric += f"_{prefilter}"
     print(
         json.dumps(
             {
@@ -208,4 +212,8 @@ def main(int8: bool = False, turbo: bool = False):
 if __name__ == "__main__":
     import sys
 
-    main(int8="--int8" in sys.argv, turbo="--turbo" in sys.argv)
+    main(
+        int8="--int8" in sys.argv,
+        turbo="--turbo" in sys.argv,
+        prefilter="approx" if "--approx_prefilter" in sys.argv else "exact",
+    )

@@ -74,22 +74,74 @@ def marginal_ms(fn, *args, n_short=N_SHORT, n_long=N_LONG, trials=TRIALS,
     return float(np.median(rates)) * 1e3
 
 
+N_WEIGHT_BUFS = 8  # distinct weight buffers cycled inside the chain
+
+
+def _chain_ms(conv_of, x, w_stack, n_short=8, n_long=72, trials=5):
+    """ms per conv via IN-GRAPH chained repetition.
+
+    Host-loop dispatch timing of sub-ms convs over the axon tunnel produced
+    garbage in both round-4 captures (negative marginals, 87 ms vs 598 ms
+    for the same shape run-to-run): each iteration pays a dispatch whose
+    jitter is ~27 ms, orders of magnitude above the kernel. Instead run the
+    conv ``n`` times inside ONE XLA program (`lax.fori_loop`, each step
+    consuming a different weight buffer so XLA cannot hoist/CSE, a scalar
+    reduction as the carried dependency), so one dispatch + one scalar
+    readback covers the whole chain — the same technique as bench.py's
+    chained-matmul TFLOPS calibration. The short/long marginal cancels the
+    per-dispatch overhead that remains.
+    """
+    def prog(n):
+        @jax.jit
+        def run(x, ws):
+            def body(i, acc):
+                y = conv_of(x, ws[i % N_WEIGHT_BUFS])
+                return acc + y.astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
+
+    short, long_ = prog(n_short), prog(n_long)
+    float(short(x, w_stack))  # compile both outside the timed region
+    float(long_(x, w_stack))
+    rates = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        s = float(short(x, w_stack))
+        t1 = time.perf_counter()
+        l = float(long_(x, w_stack))
+        t2 = time.perf_counter()
+        del s, l
+        rates.append(((t2 - t1) - (t1 - t0)) / (n_long - n_short))
+    rates = [r for r in rates if r > 0]
+    if not rates:
+        raise RuntimeError("no positive marginal trial (tunnel hiccups)")
+    return float(np.median(rates)) * 1e3
+
+
 def conv_micro(batch, h, w, cin, cout, k, stride):
-    """bf16 vs int8-with-q/dq vs int8-core for one conv shape."""
+    """bf16 vs int8-with-q/dq vs int8-core for one conv shape.
+
+    The 3-channel stem is deliberately NOT measured standalone: a bare
+    C=3 NHWC conv compiles to a pathological padded layout in isolation
+    (measured 87-598 ms for a 2.8 GMAC conv whose cost inside the fused
+    model forward is bounded by the whole model's ~7 ms), so a standalone
+    number says nothing about the model. Only deep shapes whose isolated
+    layout matches their in-model layout are profiled.
+    """
     rng = np.random.default_rng(0)
     x_f = jnp.asarray(rng.normal(size=(batch, h, w, cin)), jnp.bfloat16)
-    w_f = jnp.asarray(rng.normal(size=(k, k, cin, cout)), jnp.bfloat16)
+    ws_f = jnp.asarray(
+        rng.normal(size=(N_WEIGHT_BUFS, k, k, cin, cout)), jnp.bfloat16)
     x_i = jnp.asarray(rng.integers(-127, 128, size=(batch, h, w, cin)), jnp.int8)
-    w_i = jnp.asarray(rng.integers(-127, 128, size=(k, k, cin, cout)), jnp.int8)
+    ws_i = jnp.asarray(
+        rng.integers(-127, 128, size=(N_WEIGHT_BUFS, k, k, cin, cout)), jnp.int8)
     dn = jax.lax.conv_dimension_numbers(
-        x_f.shape, w_f.shape, ("NHWC", "HWIO", "NHWC"))
+        x_f.shape, (k, k, cin, cout), ("NHWC", "HWIO", "NHWC"))
 
-    @jax.jit
     def bf16(x, w):
         return jax.lax.conv_general_dilated(
             x, w, (stride, stride), "SAME", dimension_numbers=dn)
 
-    @jax.jit
     def int8_qdq(x, w):
         # The QuantConv int8 path: per-tensor activation quantize, conv in
         # int8 with s32 accumulation, dequantize with the product scale.
@@ -102,24 +154,18 @@ def conv_micro(batch, h, w, cin, cout, k, stride):
             preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * (sx * sw)).astype(jnp.bfloat16)
 
-    @jax.jit
     def int8_core(x, w):
         return jax.lax.conv_general_dilated(
             x, w, (stride, stride), "SAME", dimension_numbers=dn,
             preferred_element_type=jnp.int32)
 
     macs = (h // stride) * (w // stride) * cout * cin * k * k * batch
-    # Micro shapes span 0.3 ms to >100 ms per iteration: fixed counts either
-    # drown in the ~27 ms sync jitter (first capture: negative times) or
-    # blow the wall deadline (second capture: 1,100 iters of a slow stem).
-    # Adaptive sizing aims each variant's window at ~3 s of device work.
-    kw = dict(trials=5, adaptive=True)
     return {
         "shape": f"{batch}x{h}x{w}x{cin}->{cout} k{k}s{stride}",
         "gmacs": macs / 1e9,
-        "bf16_ms": marginal_ms(bf16, x_f, w_f, **kw),
-        "int8_qdq_ms": marginal_ms(int8_qdq, x_i.astype(jnp.bfloat16), w_i, **kw),
-        "int8_core_ms": marginal_ms(int8_core, x_i, w_i, **kw),
+        "bf16_ms": _chain_ms(bf16, x_f, ws_f),
+        "int8_qdq_ms": _chain_ms(int8_qdq, x_i.astype(jnp.bfloat16), ws_i),
+        "int8_core_ms": _chain_ms(int8_core, x_i, ws_i),
     }
 
 
@@ -146,7 +192,7 @@ def main():
                     pipe._forward, pipe.variables, frames, trials=5)
             row["speedup"] = row["bf16_ms"] / row["int8_ms"]
             report["whole_model"].append(row)
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
 
         # Stage split at batch 128 (the serving sweet spot). NOTE: the
         # split programs materialize the feature pyramid to HBM as program
@@ -172,18 +218,19 @@ def main():
                 "neck_heads_ms": marginal_ms(nh, feats, trials=5),
             }
             report["stages"].append(row)
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
 
-    # Representative lite0 conv shapes (stem / mid pointwise / head).
+    # Representative lite0 deep conv shapes (see conv_micro docstring for
+    # why the 3-channel stem is excluded).
     for shape in [
-        (128, 320, 320, 3, 32, 3, 2),     # stem
+        (128, 40, 40, 24, 144, 1, 1),     # early pointwise expand at P3 res
         (128, 20, 20, 112, 672, 1, 1),    # late pointwise expand
         (128, 10, 10, 1152, 320, 1, 1),   # final stage pointwise
         (128, 40, 40, 64, 64, 3, 1),      # BiFPN/head 3x3 at P3
     ]:
         row = conv_micro(*shape)
         report["conv_micro"].append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
 
     with open("/tmp/int8_profile.json", "w") as f:
         json.dump(report, f, indent=1)

@@ -11,10 +11,13 @@ Pipeline, mirroring the XLA reference implementation in
    highest-scoring anchors per image (K = 512; bit-identical to K = 1024
    on the full reference test set, measured round 3).
    ``prefilter='approx'`` swaps in ``lax.approx_max_k`` (single-pass
-   bucketed max): measured on the real test set it perturbs only
-   tail-score detections (max score delta ~1e-3 among the 25 outputs) and
-   is kept as an opt-in speed knob, NOT the default — exactness against
-   the XLA oracle wins by default.
+   bucketed max). Round-4 adjudication (tools/prefilter_check.py, real
+   chip): numerics are clean (all 61 test images count-equal, confident
+   rows bit-identical, tail score deltas <=5e-4) but the swap is
+   measured NEUTRAL inside the fused detect program (12.75 vs 12.66
+   ms/batch at 128, same window) — the 1.73 ms that `lax.top_k` costs
+   STANDALONE (tools/perf_probe.py) is overlapped by XLA's scheduler
+   in-program. Exact stays the default: the exactness is free.
 2. **Decode after gather (XLA)**: gather the K candidates' deltas and
    anchor priors, then decode only those — decoding all N anchors first
    materializes a (B, N, 4) f32 tensor whose minor-dim-4 layout pads to

@@ -82,6 +82,11 @@ class DetectionPipeline:
     # 'xla' = flax convs; 'turbo' = fused Pallas MBConv backbone
     # (models/turbo.py) — same checkpoint pytree, serving-only fast path.
     backbone: str = "xla"
+    # NMS candidate prefilter for the Pallas lane: 'exact' (lax.top_k) or
+    # 'approx' (lax.approx_max_k). At batch 128 the exact top-512-of-19k
+    # prefilter alone is 1.73 ms of the 2.38 ms postprocess (round-4
+    # perf_probe); see nms_pallas docstring for the exactness trade.
+    prefilter: str = "exact"
     anchors: np.ndarray = field(init=False)
 
     def __post_init__(self):
@@ -124,6 +129,7 @@ class DetectionPipeline:
     def from_model_arg(
         cls, model: str, use_pallas: bool = True, dtype: Any = jnp.float32,
         seed: int = 0, allow_random: bool = False, backbone: str = "xla",
+        prefilter: str = "exact",
     ) -> "DetectionPipeline":
         spec, ckpt = resolve_model(model)
         if ckpt is None and not allow_random:
@@ -140,7 +146,7 @@ class DetectionPipeline:
         else:
             variables = template
         return cls(spec=spec, variables=variables, use_pallas=use_pallas,
-                   dtype=dtype, backbone=backbone)
+                   dtype=dtype, backbone=backbone, prefilter=prefilter)
 
     @staticmethod
     def init_variables(spec: ModelSpec, seed: int = 0, dtype: Any = jnp.float32):
@@ -199,6 +205,7 @@ class DetectionPipeline:
                 max_detections=MAX_DETECTIONS,
                 score_threshold=score_threshold,
                 interpret=jax.devices()[0].platform == "cpu",
+                prefilter=self.prefilter,
             )
         return detection_postprocess(
             deltas,
