@@ -61,19 +61,23 @@ def _timed_forward(pipeline, batches, iters) -> float:
     return time.perf_counter() - t0
 
 
-def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, float]:
-    """(best, median) marginal seconds/iteration between short and long runs.
+def _marginal_seconds_per_iter(
+    timed_fn, pipeline, batches
+) -> tuple[float, float, list[float]]:
+    """(best, median, all_trials) marginal seconds/iteration between short
+    and long runs.
 
     A tunnel hiccup inside the SHORT run can make a trial's marginal rate
     collapse toward zero (or negative) — exactly the overstatement failure
     this methodology exists to prevent — so non-positive trials are
-    discarded and the MEDIAN is the headline; best is auxiliary."""
-    rates = []
+    discarded and the MEDIAN is the headline; best is auxiliary. All raw
+    trials (including discarded ones) go into the raw-capture record."""
+    raw = []
     for _ in range(TRIALS):
         t_short = timed_fn(pipeline, batches, N_SHORT)
         t_long = timed_fn(pipeline, batches, N_LONG)
-        rates.append((t_long - t_short) / (N_LONG - N_SHORT))
-    rates = [r for r in rates if r > 0]
+        raw.append((t_long - t_short) / (N_LONG - N_SHORT))
+    rates = [r for r in raw if r > 0]
     if not rates:
         # Every trial was non-positive: the tunnel swallowed the timing.
         # Publishing 0.0 (or inf fps) would be a bogus headline — fail loud.
@@ -81,7 +85,7 @@ def _marginal_seconds_per_iter(timed_fn, pipeline, batches) -> tuple[float, floa
             "benchmark invalid: no positive marginal-rate trial survived "
             "(tunnel hiccups in every trial); rerun on an idle chip"
         )
-    return min(rates), float(np.median(rates))
+    return min(rates), float(np.median(rates)), raw
 
 
 def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
@@ -90,12 +94,21 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
     from vbt_tpu.utils.cache import enable_persistent_cache
     from vbt_tpu.utils.health import TPUUnhealthyError, require_healthy_tpu
 
-    # Fail FAST on a wedged/degraded tunnel: emit an explicit invalid-JSON
-    # verdict within the probe deadline instead of hanging inside the first
-    # compile/readback until an external timeout (round 3 lost both bench
-    # captures exactly that way — BENCH_r03.json rc=124, parsed null).
+    # Fail FAST on a wedged/degraded tunnel — but RETRY for a window first:
+    # the driver runs bench exactly once per round, and rounds 3 and 4 both
+    # lost their only capture to transient degradation windows. The probe
+    # re-checks every ~2 min for VBT_TPU_HEALTH_RETRY_S seconds (bench-only;
+    # interactive CLIs stay fail-fast) before emitting the explicit
+    # invalid-JSON verdict. The default window is 600 s, NOT longer: the
+    # driver kills a bench attempt at ~900 s (BENCH_r03 rc=124 came from two
+    # such silent kills), and an rc=124 with no JSON line is strictly worse
+    # than an explicit invalid verdict — the window must leave room for the
+    # measurement itself inside that budget.
     try:
-        require_healthy_tpu(context="bench")
+        require_healthy_tpu(
+            context="bench",
+            retry_window_s=float(os.environ.get("VBT_TPU_HEALTH_RETRY_S", "600")),
+        )
     except TPUUnhealthyError as e:
         print(
             json.dumps(
@@ -160,10 +173,10 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
     _timed_detect(pipeline, batches, 2)
     _timed_forward(pipeline, batches, 2)
 
-    best_spi, median_spi = _marginal_seconds_per_iter(
+    best_spi, median_spi, detect_trials = _marginal_seconds_per_iter(
         _timed_detect, pipeline, batches
     )
-    fwd_best_spi, fwd_median_spi = _marginal_seconds_per_iter(
+    fwd_best_spi, fwd_median_spi, fwd_trials = _marginal_seconds_per_iter(
         _timed_forward, pipeline, batches
     )
 
@@ -193,20 +206,48 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
         metric += "_turbo"
     if prefilter != "exact":
         metric += f"_{prefilter}"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / TARGET_FPS, 3),
-                "batch": BATCH,
-                "best_fps": round(best_fps, 1),
-                "forward_ms_per_batch": round(fwd_ms, 3),
-                "mfu": round(mfu, 4) if mfu is not None else None,
-            }
-        )
+    headline = {
+        "metric": metric,
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+        "batch": BATCH,
+        "best_fps": round(best_fps, 1),
+        "forward_ms_per_batch": round(fwd_ms, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }
+    print(json.dumps(headline))
+
+    # Raw-capture record: every valid run leaves a committable artifact with
+    # the per-trial marginal rates (VERDICT r4: the 10k headline rested on
+    # /tmp captures that were never committed). VBT_TPU_BENCH_RAW overrides
+    # the path; "0" disables.
+    raw_path = os.environ.get(
+        "VBT_TPU_BENCH_RAW",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools", "data_bench_last.json",
+        ),
     )
+    if raw_path != "0":
+        record = {
+            "headline": headline,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "n_short": N_SHORT,
+            "n_long": N_LONG,
+            "detect_trials_s_per_iter": [round(r, 6) for r in detect_trials],
+            "forward_trials_s_per_iter": [round(r, 6) for r in fwd_trials],
+            "detect_trials_fps": [
+                round(BATCH / r, 1) if r > 0 else None for r in detect_trials
+            ],
+            "checkpoint": os.path.basename(ckpt) if os.path.isfile(ckpt) else "random-init",
+        }
+        try:
+            with open(raw_path, "w") as f:
+                json.dump(record, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout must not kill the capture
 
 
 if __name__ == "__main__":

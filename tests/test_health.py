@@ -69,6 +69,8 @@ def test_bench_emits_invalid_json_on_wedge():
     env = dict(os.environ)
     env["VBT_TPU_HEALTH_FAKE"] = "wedged"
     env["VBT_TPU_HEALTH_DEADLINE_S"] = "3"
+    env["VBT_TPU_HEALTH_RETRY_S"] = "0"  # disable bench's retry window
+    env["VBT_TPU_BENCH_RAW"] = "0"
     env["PYTHONPATH"] = REPO
     env.pop("VBT_TPU_HEALTH_PROBE", None)
     # JAX_PLATFORMS=cpu keeps the parent's module-level `import jax` off the
@@ -86,6 +88,62 @@ def test_bench_emits_invalid_json_on_wedge():
     assert out["value"] is None
     assert "wedged" in out["reason"] or "deadline" in out["reason"]
     assert dt < 300
+
+
+def test_retry_window_recovers_from_transient(monkeypatch):
+    """A transient degradation window must cost a re-probe, not the capture:
+    with a retry window active, require_healthy_tpu keeps probing until the
+    tunnel comes back (rounds 3 and 4 both lost their only driver BENCH
+    capture to single-shot probes)."""
+    from vbt_tpu.utils import health
+
+    monkeypatch.setenv("VBT_TPU_HEALTH_FAKE", "slow")  # defeat the CPU skip
+    monkeypatch.setattr(health, "RETRY_SLEEP_S", 0.01)
+    calls = {"n": 0}
+
+    def fake_probe(deadline_s=None, slow_ms=None):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return HealthReport(ok=False, reason="TPU degradation window")
+        return HealthReport(ok=True, reason="healthy", forward_ms=6.0)
+
+    monkeypatch.setattr(health, "probe_tpu", fake_probe)
+    rep = health.require_healthy_tpu(retry_window_s=30.0)
+    assert rep.ok and calls["n"] == 3
+
+
+def test_retry_window_gives_up(monkeypatch):
+    from vbt_tpu.utils import health
+
+    monkeypatch.setenv("VBT_TPU_HEALTH_FAKE", "slow")
+    monkeypatch.setattr(health, "RETRY_SLEEP_S", 0.01)
+    monkeypatch.setattr(
+        health, "probe_tpu",
+        lambda deadline_s=None, slow_ms=None: HealthReport(
+            ok=False, reason="TPU degradation window"),
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(TPUUnhealthyError, match="gave up after"):
+        health.require_healthy_tpu(retry_window_s=0.2)
+    assert time.perf_counter() - t0 < 10
+
+
+def test_no_retry_by_default(monkeypatch):
+    """Interactive CLIs stay fail-fast: one probe, no retry loop."""
+    from vbt_tpu.utils import health
+
+    monkeypatch.setenv("VBT_TPU_HEALTH_FAKE", "slow")
+    monkeypatch.delenv("VBT_TPU_HEALTH_RETRY_S", raising=False)
+    calls = {"n": 0}
+
+    def fake_probe(deadline_s=None, slow_ms=None):
+        calls["n"] += 1
+        return HealthReport(ok=False, reason="TPU degradation window")
+
+    monkeypatch.setattr(health, "probe_tpu", fake_probe)
+    with pytest.raises(TPUUnhealthyError):
+        health.require_healthy_tpu()
+    assert calls["n"] == 1
 
 
 def test_report_dataclass():

@@ -46,17 +46,33 @@ def main(checkpoint, data_dir, calib_n, budget):
     test_dir = os.path.join(data_dir, "test")
 
     # Calibration: real train images at the model input size (the same
-    # distribution the reference's TFLite converter calibrates on).
+    # distribution the reference's TFLite converter calibrates on). The set
+    # is deterministic (first `calib_n` sorted train jpgs) and PRINTED so the
+    # gate's methodology baseline is pinned in any capture of this tool.
     size = pipe.spec.input_size
     train_jpgs = sorted(glob.glob(os.path.join(data_dir, "train", "*.jpg")))
     if not train_jpgs:
         raise SystemExit(f"no train images under {data_dir}/train")
-    frames = np.stack([
-        cv2.resize(
-            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB), (size, size)
+    frames = []
+    calib_used = []
+    for p in train_jpgs:
+        if len(frames) >= calib_n:
+            break
+        img = cv2.imread(p)
+        if img is None:
+            print(f"WARNING: skipping unreadable calibration image {p}",
+                  file=sys.stderr)
+            continue
+        frames.append(
+            cv2.resize(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), (size, size))
         )
-        for p in train_jpgs[:calib_n]
-    ])
+        calib_used.append(os.path.basename(p))
+    if len(frames) < calib_n:
+        raise SystemExit(
+            f"only {len(frames)} readable calibration images (need {calib_n})"
+        )
+    frames = np.stack(frames)
+    print(f"calib set ({len(calib_used)}): {' '.join(calib_used)}")
 
     m_float = evaluate_model(pipe, test_dir)
     m_int8 = evaluate_model(pipe.calibrate(frames), test_dir)
@@ -69,10 +85,16 @@ def main(checkpoint, data_dir, calib_n, budget):
     delta75 = m_int8["AP75"] - m_float["AP75"]
     print(f"delta: AP {m_int8['AP'] - m_float['AP']:+.4f} "
           f"AP50 {m_int8['AP50'] - m_float['AP50']:+.4f} "
-          f"AP75 {delta75:+.4f} (budget ±{budget})")
-    if abs(delta75) > budget:
-        print("FAIL: int8 AP75 delta exceeds budget", file=sys.stderr)
+          f"AP75 {delta75:+.4f} (budget -{budget})")
+    # The shipping gate cares about REGRESSIONS only: an int8 path that
+    # improves AP75 is fine (a large positive delta would be surprising but
+    # is not a reason to block a checkpoint).
+    if delta75 < -budget:
+        print("FAIL: int8 AP75 regression exceeds budget", file=sys.stderr)
         sys.exit(1)
+    if delta75 > budget:
+        print(f"note: int8 improves AP75 by {delta75:+.4f} (> budget "
+              "magnitude) — unusual but not gated", file=sys.stderr)
     print("OK")
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import time
 from dataclasses import dataclass
 
 # Marginal forward latency above this is a degradation window, not a healthy
@@ -160,22 +161,61 @@ def probe_tpu(deadline_s: float | None = None, slow_ms: float = SLOW_MS) -> Heal
     return HealthReport(ok=True, reason="healthy", forward_ms=fwd_ms)
 
 
+# Pause between probe attempts when a retry window is active. Each probe
+# already costs up to DEADLINE_S, so the effective re-check cadence is
+# ~(probe time + RETRY_SLEEP_S) — about every 5 minutes on a wedged tunnel.
+RETRY_SLEEP_S = 120.0
+
+
 def require_healthy_tpu(
     deadline_s: float | None = None,
     slow_ms: float = SLOW_MS,
     context: str = "",
+    retry_window_s: float | None = None,
 ) -> HealthReport:
     """Raise :class:`TPUUnhealthyError` unless the device is serving sanely.
 
     No-op on CPU backends (tests, golden lanes) and when
     ``VBT_TPU_HEALTH_PROBE=0``.
+
+    ``retry_window_s`` keeps re-probing a failing tunnel for that many
+    seconds before giving up (env override: ``VBT_TPU_HEALTH_RETRY_S``).
+    The axon tunnel's degradation windows are often transient, and for an
+    unattended capture (the driver runs bench.py exactly once per round) a
+    single-shot probe turns a 10-minute hiccup into a lost round — rounds
+    3 and 4 both lost their only BENCH capture this way. Interactive CLIs
+    keep the fail-fast default (0 = no retry).
     """
     if os.environ.get("VBT_TPU_HEALTH_PROBE", "1") == "0" or (
         _platform_is_cpu() and not os.environ.get("VBT_TPU_HEALTH_FAKE")
     ):
         return HealthReport(ok=True, reason="probe skipped")
-    rep = probe_tpu(deadline_s=deadline_s, slow_ms=slow_ms)
-    if not rep.ok:
-        prefix = f"[{context}] " if context else ""
-        raise TPUUnhealthyError(prefix + rep.reason)
-    return rep
+    if retry_window_s is None:
+        retry_window_s = float(os.environ.get("VBT_TPU_HEALTH_RETRY_S", "0"))
+    prefix = f"[{context}] " if context else ""
+    t_start = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        rep = probe_tpu(deadline_s=deadline_s, slow_ms=slow_ms)
+        if rep.ok:
+            return rep
+        remaining = retry_window_s - (time.monotonic() - t_start)
+        if remaining <= RETRY_SLEEP_S:
+            raise TPUUnhealthyError(
+                prefix + rep.reason
+                + (
+                    f" (gave up after {attempt} probe attempts over "
+                    f"{time.monotonic() - t_start:.0f}s)"
+                    if attempt > 1
+                    else ""
+                )
+            )
+        print(
+            f"{prefix}health probe attempt {attempt} failed "
+            f"({rep.reason.splitlines()[0][:120]}); retrying for another "
+            f"{remaining:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(RETRY_SLEEP_S)
