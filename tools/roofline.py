@@ -2,28 +2,37 @@
 
 RESULTS.md closes the perf frontier with "the forward is bandwidth-bound at
 the HBM roofline" — this tool makes that claim auditable (VERDICT r4,
-weak #5): it produces a committed per-stage decomposition of TIME (measured,
-marginal-readback methodology — see bench.py/CLAUDE.md) and HBM BYTES
-(analytic walk over the exact architecture), so the GB/s each stage implies
-can be compared against the v5e's sustained HBM rate.
+weak #5): a committed per-stage decomposition of the fused program's HBM
+bytes and MXU flops, with measured wall time for the programs that can be
+timed honestly, and a per-stage roofline bound to compare against.
 
-Time: five nested prefix programs, each jitted from the same uint8 frames —
+Decomposition: five nested prefix programs, each jitted from the same
+uint8 frames —
     P0 preprocess | P1 +backbone | P2 +BiFPN | P3 +heads (= full forward)
     | P4 +postprocess (= full detect)
-Stage time = marginal ms difference of consecutive prefixes. Caveat: each
-prefix materializes its outputs to HBM as program results, which the fused
-program does not, so stage boundaries carry a small materialization skew —
-the FUSED detect total (also measured) is the ground truth the stages must
-approximately sum to.
+Stage flops/bytes = difference of consecutive prefixes' XLA cost-analysis
+(compile-only: safe next to other chip work, and immune to tunnel jitter).
 
-Bytes: an analytic walk assuming perfect elementwise fusion — every conv
-reads its input activation once (bf16), reads its f32 weights, writes its
-output once; BN/ReLU6 are epilogue-fused (free); residual/fusion adds read
-their extra operands; resamples read+write. This is the IDEAL (lower-bound,
-unpadded) traffic: real XLA layouts pad channels into (8,128) tiles, so
-shallow-channel tensors (the 3-channel input, 32-channel stem) move more
-than the ideal. XLA's own cost-analysis bytes are recorded as the upper
-cross-check (CLAUDE.md: it overcounts gathers, fine for convs).
+Wall time is measured ONLY for the natural programs (full forward, fused
+detect, and their difference = postprocess): a first capture of this tool
+tried to wall-time every prefix and got nonsense — a standalone prefix
+must materialize its boundary tensor as a program RESULT, and for the
+(B,320,320,3) preprocess output XLA picks a pathologically padded layout
+(80.7 ms measured, 6x the whole fused detect; the BiFPN prefix's 5-level
+tuple output measured 37.1 ms vs 9.9 ms for the strictly-larger forward).
+The fused program never materializes those boundaries, so prefix wall
+times don't decompose it. Cost-analysis diffs don't have that problem —
+the boundary write/read appears once per prefix and is recorded
+explicitly per stage as `boundary_out_bytes` so the skew is visible.
+
+Per-stage roofline: t_hbm = bytes / sustained HBM, t_mxu = flops / peak
+bf16 MXU; bound = max of the two. Sum of stage bounds vs the measured
+forward says how close to the roofline the program runs and which stages
+have headroom. An analytic once-per-conv traffic walk (perfect elementwise
+fusion, no inter-conv fusion) is recorded per stage as a cross-check; the
+measured forward beats that model's HBM time — XLA moves LESS than
+once-per-conv (depthwise convs lower to VPU ops that fuse with their
+1x1 neighbours), which is why the walk reads as an upper envelope here.
 
 Usage (idle chip): python -m tools.roofline
 Writes tools/data_roofline_r5.json and prints the table.
@@ -32,14 +41,15 @@ Writes tools/data_roofline_r5.json and prints the table.
 import json
 import math
 import os
-import sys
 
 import numpy as np
 
-# v5e HBM: 16 GB @ 819 GB/s peak. Sustained on real kernels is ~70-85% of
-# peak; 0.75 is the conventional planning number.
+# v5e: HBM 16 GB @ 819 GB/s peak; MXU 197 TFLOPS bf16 peak. Sustained HBM
+# on real kernels is ~70-85% of peak; 0.75 is the conventional planning
+# number.
 HBM_PEAK_GBS = 819.0
 HBM_SUSTAINED_GBS = 0.75 * HBM_PEAK_GBS
+MXU_PEAK_TFLOPS = 197.0
 
 BATCH = 128
 ACT = 2  # bf16 activation bytes
@@ -56,7 +66,14 @@ def _conv_bytes(hw_in, cin, cout, k, stride, batch, groups=1):
 
 
 def analytic_bytes(batch=BATCH, size=320):
-    """Per-stage ideal HBM bytes for efficientdet_lite0 @ `size`."""
+    """Per-stage once-per-conv HBM bytes for efficientdet_lite0 @ `size`.
+
+    Assumes perfect elementwise fusion (BN/ReLU6 free, residual adds read
+    one extra operand) but NO fusion across convs — every conv round-trips
+    its input and output through HBM. Measured reality beats this model
+    (see module docstring), so treat it as the no-inter-conv-fusion
+    envelope, not a lower bound.
+    """
     from vbt_tpu.models.anchors import ANCHORS_PER_CELL
     from vbt_tpu.models.efficientnet_lite import STEM_CHANNELS, scaled_blocks
 
@@ -158,13 +175,10 @@ def analytic_bytes(batch=BATCH, size=320):
     return stages
 
 
-def measure_stage_ms(pipeline, frames):
-    """Marginal ms for the five nested prefix programs + the fused total."""
-    import functools
-
+def prefix_programs(pipeline, frames):
+    """The five nested prefix programs over the same uint8 frames."""
     import jax
 
-    from tools.int8_profile import marginal_ms
     from vbt_tpu.ops.preprocess import preprocess_frames
 
     model, variables = pipeline._model, pipeline.variables
@@ -184,20 +198,47 @@ def measure_stage_ms(pipeline, frames):
                            method=lambda m, ft, train, q: m.fpn(ft, train, q))
 
     p3 = pipeline._forward       # preprocess + backbone + fpn + heads
-    p4 = functools.partial(pipeline._detect, score_threshold=0.0)
+    # _detect is jitted with score_threshold static: close over it so the
+    # wrapper is itself a jit function exposing .lower().
+    p4 = jax.jit(
+        lambda v, f: pipeline._detect_impl(v, f, score_threshold=0.0)
+    )
 
-    progs = {
+    return {
         "P0_preprocess": (pre, (frames,)),
         "P1_backbone": (jax.jit(p1), (variables, frames)),
         "P2_bifpn": (jax.jit(p2), (variables, frames)),
         "P3_heads(full fwd)": (p3, (variables, frames)),
         "P4_detect(fused)": (p4, (variables, frames)),
     }
-    out = {}
+
+
+def cost_analysis_rows(progs):
+    """Compile each prefix (compile-only: no chip execution) and record XLA
+    cost-analysis flops / bytes plus the boundary-output materialization."""
+    rows = {}
     for name, (fn, args) in progs.items():
-        out[name] = marginal_ms(fn, *args, trials=5)
-        print(f"{name}: {out[name]:.3f} ms", flush=True)
-    return out
+        lowered = fn.lower(*args)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        try:
+            import jax
+
+            out_bytes = sum(
+                int(np.prod(i.shape)) * np.dtype(i.dtype).itemsize
+                for i in jax.tree.leaves(lowered.out_info)
+            )
+        except Exception:
+            out_bytes = None
+        rows[name] = {
+            "flops": float(ca.get("flops", float("nan"))),
+            "bytes": float(ca.get("bytes accessed", float("nan"))),
+            "boundary_out_bytes": out_bytes,
+        }
+        print(f"{name}: {rows[name]['flops']/1e9:.1f} GFLOP "
+              f"{rows[name]['bytes']/1e9:.3f} GB (ca)", flush=True)
+    return rows
 
 
 def main():
@@ -207,9 +248,9 @@ def main():
     require_healthy_tpu(context="roofline")
     enable_persistent_cache()
 
-    import jax
     import jax.numpy as jnp
 
+    from tools.int8_profile import marginal_ms
     from vbt_tpu.runtime.pipeline import DetectionPipeline, serving_config
 
     on_tpu, dtype = serving_config()
@@ -223,16 +264,23 @@ def main():
         rng.integers(0, 255, size=(BATCH, size, size, 3)), jnp.uint8
     )
 
-    prefix_ms = measure_stage_ms(pipeline, frames)
-    names = list(prefix_ms)
-    stage_ms = {names[0]: prefix_ms[names[0]]}
-    for a, bn in zip(names, names[1:]):
-        stage_ms[bn] = prefix_ms[bn] - prefix_ms[a]
+    progs = prefix_programs(pipeline, frames)
+    ca = cost_analysis_rows(progs)
+
+    # Wall time: only the natural programs (see module docstring).
+    fwd_ms = marginal_ms(
+        pipeline._forward, pipeline.variables, frames, trials=5
+    )
+    det_fn, det_args = progs["P4_detect(fused)"]
+    det_ms = marginal_ms(det_fn, *det_args, trials=5)
+    post_ms = det_ms - fwd_ms
+    print(f"\nmeasured: forward {fwd_ms:.3f} ms, fused detect {det_ms:.3f} ms"
+          f", postprocess (diff) {post_ms:.3f} ms", flush=True)
 
     ideal = analytic_bytes(BATCH, size)
     groups = ideal.pop("_backbone_groups")
     n_anchors = ideal.pop("_n_anchors")
-    stage_bytes = {
+    ideal_by_prefix = {
         "P0_preprocess": ideal["preprocess"],
         "P1_backbone": ideal["backbone"],
         "P2_bifpn": ideal["bifpn"],
@@ -240,52 +288,69 @@ def main():
         "P4_detect(fused)": ideal["postprocess"],
     }
 
-    # XLA's own accounting of the fused program, as the upper cross-check.
-    xla_bytes = None
-    try:
-        ca = (
-            pipeline._forward.lower(pipeline.variables, frames)
-            .compile().cost_analysis()
-        )
-        ca = ca[0] if isinstance(ca, list) else ca
-        xla_bytes = float(ca.get("bytes accessed", float("nan")))
-    except Exception as e:  # cost analysis is best-effort
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-
-    total_ideal = sum(stage_bytes.values())
-    fused_ms = prefix_ms["P4_detect(fused)"]
-    print(f"\n{'stage':22s} {'ms':>8s} {'ideal GB':>9s} {'GB/s':>8s}")
+    names = list(progs)
     rows = []
+    prev = {"flops": 0.0, "bytes": 0.0}
     for name in names:
-        ms = stage_ms[name]
-        gb = stage_bytes[name] / 1e9
-        gbs = gb / (ms / 1e3) if ms > 0.05 else float("nan")
-        rows.append({"stage": name, "ms": round(ms, 3),
-                     "ideal_gb": round(gb, 4),
-                     "implied_gbs": round(gbs, 1) if gbs == gbs else None})
-        print(f"{name:22s} {ms:8.3f} {gb:9.4f} {gbs:8.1f}")
-    print(f"{'TOTAL (sum stages)':22s} {sum(stage_ms.values()):8.3f} "
-          f"{total_ideal / 1e9:9.4f}")
-    print(f"{'fused detect (meas)':22s} {fused_ms:8.3f}")
-    print(f"ideal-bytes bound at {HBM_SUSTAINED_GBS:.0f} GB/s sustained: "
-          f"{total_ideal / 1e9 / HBM_SUSTAINED_GBS * 1e3:.2f} ms")
-    if xla_bytes:
-        print(f"XLA cost-analysis bytes (fused fwd): {xla_bytes / 1e9:.2f} GB "
-              f"-> {xla_bytes / 1e9 / (fused_ms / 1e3):.0f} GB/s implied")
+        d_flops = ca[name]["flops"] - prev["flops"]
+        d_bytes = ca[name]["bytes"] - prev["bytes"]
+        prev = ca[name]
+        t_hbm = d_bytes / 1e9 / HBM_SUSTAINED_GBS * 1e3
+        t_mxu = d_flops / 1e12 / MXU_PEAK_TFLOPS * 1e3
+        rows.append({
+            "stage": name,
+            "ca_gflops": round(d_flops / 1e9, 2),
+            "ca_gb": round(d_bytes / 1e9, 4),
+            "ideal_gb": round(ideal_by_prefix[name] / 1e9, 4),
+            "boundary_out_mb": (
+                round(ca[name]["boundary_out_bytes"] / 1e6, 2)
+                if ca[name]["boundary_out_bytes"] else None
+            ),
+            "t_hbm_ms": round(t_hbm, 3),
+            "t_mxu_ms": round(t_mxu, 3),
+            "bound": "hbm" if t_hbm >= t_mxu else "mxu",
+            "t_bound_ms": round(max(t_hbm, t_mxu), 3),
+        })
+
+    print(f"\n{'stage':20s} {'GFLOP':>8s} {'ca GB':>8s} {'ideal GB':>9s} "
+          f"{'t_hbm':>7s} {'t_mxu':>7s} {'bound':>6s}")
+    for r in rows:
+        print(f"{r['stage']:20s} {r['ca_gflops']:8.1f} {r['ca_gb']:8.3f} "
+              f"{r['ideal_gb']:9.3f} {r['t_hbm_ms']:7.3f} "
+              f"{r['t_mxu_ms']:7.3f} {r['bound']:>6s}")
+    sum_bound_fwd = sum(r["t_bound_ms"] for r in rows[:4])
+    print(f"sum of stage roofline bounds (forward): {sum_bound_fwd:.2f} ms "
+          f"vs measured {fwd_ms:.2f} ms "
+          f"({fwd_ms / sum_bound_fwd:.2f}x the roofline)")
+    fps = BATCH / (det_ms / 1e3)
+    print(f"fused detect: {det_ms:.2f} ms -> {fps:.0f} fps/chip")
 
     record = {
         "batch": BATCH,
         "model": "efficientdet_lite0_whole",
-        "prefix_ms": {k: round(v, 3) for k, v in prefix_ms.items()},
-        "stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
-        "stage_ideal_bytes": stage_bytes,
-        "backbone_group_bytes": groups,
+        "hw_constants": {
+            "hbm_peak_gbs": HBM_PEAK_GBS,
+            "hbm_sustained_gbs_assumed": HBM_SUSTAINED_GBS,
+            "mxu_peak_tflops_bf16": MXU_PEAK_TFLOPS,
+        },
+        "measured_ms": {
+            "forward": round(fwd_ms, 3),
+            "fused_detect": round(det_ms, 3),
+            "postprocess_diff": round(post_ms, 3),
+        },
+        "prefix_cost_analysis": ca,
+        "stage_rows": rows,
+        "sum_stage_bound_ms_forward": round(sum_bound_fwd, 3),
+        "backbone_group_ideal_bytes": groups,
         "n_anchors": n_anchors,
-        "total_ideal_bytes": total_ideal,
-        "xla_cost_analysis_bytes_fwd": xla_bytes,
-        "fused_detect_ms": round(fused_ms, 3),
-        "hbm_sustained_gbs_assumed": HBM_SUSTAINED_GBS,
-        "rows": rows,
+        "fps_at_fused_detect": round(fps, 1),
+        "prefix_walltime_note": (
+            "prefix wall times are NOT recorded: standalone prefixes "
+            "materialize boundary tensors in pathological layouts "
+            "(preprocess prefix measured 80.7 ms, BiFPN prefix 37.1 ms vs "
+            "9.9 ms full forward on 2026-08-19) and do not decompose the "
+            "fused program"
+        ),
     }
     out = os.path.join(os.path.dirname(__file__), "data_roofline_r5.json")
     with open(out, "w") as f:
