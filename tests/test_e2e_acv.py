@@ -32,18 +32,20 @@ def _cpu_pipeline():
 
 @pytest.mark.skipif(not os.path.isfile(CKPT), reason="needs shipped weights")
 def test_detector_pipeline_acv_quick(tmp_path):
-    """Default-lane smoke guard for the flagship e2e path: 1 rep at 30 fps
-    (60 frames, one detect batch) through the full shipped
+    """Default-lane smoke guard for the flagship e2e path: 1 rep at 15 fps
+    (30 frames, one detect batch) through the full shipped
     detector->tracker->smoothing->phase pipeline on the pinned scene.
 
-    Budget 7% (vs the slow lane's 5%): at 1 rep / 60 frames the phase
-    boundaries carry proportionally more of the per-frame jitter. What
-    this guards is the real failure modes: wrong-track selection
-    (15-84% error), broken detect/track/phase (no reps at all)."""
+    Budget 7% (vs the slow lane's 5%): at 1 rep / 30 frames the phase
+    boundaries carry proportionally more of the per-frame jitter (measured
+    margin: 2.45% at 15 fps vs 3.24% at 30 fps — the lower rate is no
+    noisier, and halves this test's CPU-inference wall time). What this
+    guards is the real failure modes: wrong-track selection (15-84%
+    error), broken detect/track/phase (no reps at all)."""
     from tools.e2e_acv_check import run_check, synthesize_scene
 
     video = str(tmp_path / "demo_quick.mp4")
-    traj = synthesize_scene(video, reps=1, fps=30.0, seconds=2.0)
+    traj = synthesize_scene(video, reps=1, fps=15.0, seconds=2.0)
     ok, errors = run_check(video, traj, reps=1, budget=0.07,
                            pipeline=_cpu_pipeline(), verbose=False)
     assert ok, errors

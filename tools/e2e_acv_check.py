@@ -112,7 +112,15 @@ def run_check(video, traj, reps, budget=BUDGET, pipeline=None, verbose=True):
         acv_t, acv_m = t.rom / t.duration, m.rom / m.duration
         rom_err = abs(m.rom - t.rom) / t.rom
         acv_err = abs(acv_m - acv_t) / acv_t
-        errors.append((rom_err, acv_err))
+        errors.append({
+            "rep": i,
+            "rom_true_m": round(float(t.rom), 4),
+            "rom_measured_m": round(float(m.rom), 4),
+            "rom_err": round(float(rom_err), 4),
+            "acv_true_ms": round(float(acv_t), 4),
+            "acv_measured_ms": round(float(acv_m), 4),
+            "acv_err": round(float(acv_err), 4),
+        })
         ok &= rom_err < budget and acv_err < budget
         if verbose:
             print(
@@ -122,6 +130,17 @@ def run_check(video, traj, reps, budget=BUDGET, pipeline=None, verbose=True):
                 f"({acv_err * 100:.2f}%)"
             )
     return ok, errors
+
+
+def _serving_record(pipeline):
+    """Capture-facing description of the lane actually exercised."""
+    import jax
+
+    return {
+        "platform": jax.default_backend(),
+        "dtype": str(pipeline.dtype),
+        "pallas_nms": bool(pipeline.use_pallas),
+    }
 
 
 def synthesize_scene(video, reps, fps, seconds):
@@ -140,7 +159,9 @@ def synthesize_scene(video, reps, fps, seconds):
 @click.option("--seconds", default=9.0, type=float)
 @click.option("--model", default="models/efficientdet_lite0_whole.msgpack",
               show_default=True)
-def main(reps, fps, seconds, model):
+@click.option("--out", default=None,
+              help="Write the per-rep record as committable JSON.")
+def main(reps, fps, seconds, model, out):
     from vbt_tpu.utils.cache import enable_persistent_cache
     from vbt_tpu.utils.health import require_healthy_tpu
 
@@ -155,7 +176,23 @@ def main(reps, fps, seconds, model):
         pipeline = DetectionPipeline.from_model_arg(
             model, use_pallas=on_tpu, dtype=dtype,
         )
-        ok, _ = run_check(video, traj, reps, pipeline=pipeline)
+        ok, errors = run_check(video, traj, reps, pipeline=pipeline)
+    if out:
+        import json
+
+        record = {
+            "scene": {"image": SCENE_IMAGE, "reps": reps, "fps": fps,
+                      "seconds": seconds},
+            "model": os.path.basename(model),
+            "serving": _serving_record(pipeline),
+            "budget": BUDGET,
+            "per_rep": errors,
+            "pass": bool(ok),
+        }
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        print(f"wrote {out}", file=sys.stderr)
     print(f"PASS (all reps within the {BUDGET:.0%} budget)" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -98,7 +98,22 @@ def run_scan_tracker(dets: np.ndarray, valid: np.ndarray, time_shard: bool = Fal
         mesh = make_mesh(len(jax.devices()))
         out = track_video_time_sharded(cfg, dets, valid, mesh)
     else:
-        out = track_video(cfg, dets, valid)
+        import jax
+
+        # A single video's tracker is a serial T-step scan of tiny ops —
+        # measured TPU-hostile (13.2 s on-chip vs 4.3 s on the host CPU
+        # backend for a 60 s clip; tools/data_track_e2e_r5.json). Pin it to
+        # the host CPU: the accelerator earns its keep only when the scan is
+        # vmapped over many clips (track_many) or time-sharded over a mesh.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                out = track_video(cfg, dets, valid)
+        else:
+            out = track_video(cfg, dets, valid)
     return {
         "report": np.asarray(out.report),
         "box": np.asarray(out.box),
