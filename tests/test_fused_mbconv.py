@@ -137,6 +137,8 @@ def test_pipeline_turbo_backbone_matches_xla():
                                atol=1e-4)
 
 
+@pytest.mark.slow  # ~31 s; turbo is opt-in (retired from serving, RESULTS.md)
+# and its kernel blocks are pinned block-by-block in the default lane above.
 def test_turbo_forward_matches_model():
     """Full detector forward with the turbo backbone equals model.apply."""
     from vbt_tpu.models import EfficientDet, get_model_spec
