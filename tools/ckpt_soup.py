@@ -49,7 +49,13 @@ def parse_sweep(path):
 @click.option("--min_step", default=0, help="ignore earlier checkpoints")
 @click.option("--data_dir", default="/root/reference/data")
 @click.option("--out", default=None, help="msgpack path for the final soup")
-def main(architecture, ckpt_dir, sweep_log, top_k, metric, min_step, data_dir, out):
+@click.option("--seed_msgpack", default=None,
+              help="Seed the greedy soup from this params msgpack (e.g. a "
+              "previously shipped soup) instead of the best swept candidate. "
+              "Only valid when the candidates descend from the seed (same "
+              "basin), e.g. a low-LR fine-tune warm-started from it.")
+def main(architecture, ckpt_dir, sweep_log, top_k, metric, min_step, data_dir,
+         out, seed_msgpack):
     from vbt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -59,7 +65,8 @@ def main(architecture, ckpt_dir, sweep_log, top_k, metric, min_step, data_dir, o
     import numpy as np
 
     from vbt_tpu.models import get_model_spec
-    from vbt_tpu.runtime.checkpoint import load_train_checkpoint, save_params
+    from vbt_tpu.runtime.checkpoint import (load_params, load_train_checkpoint,
+                                            save_params)
     from vbt_tpu.runtime.pipeline import DetectionPipeline
     from vbt_tpu.train.evaluate import evaluate_model
     from vbt_tpu.train.train_step import Trainer
@@ -87,14 +94,22 @@ def main(architecture, ckpt_dir, sweep_log, top_k, metric, min_step, data_dir, o
             lambda a: np.asarray(a, np.float32), variables))
         return evaluate_model(pipe, test_dir)
 
-    step, tag, swept = cands[0]
-    soup_sum = fp32(variables_of(step, tag))
-    members = [(step, tag)]
-    best = evaluate(soup_sum)
-    print(f"seed {step}/{tag}: {metric} {best[metric]:.4f} "
-          f"(swept {swept[metric]:.4f})", flush=True)
+    if seed_msgpack:
+        soup_sum = fp32(load_params(seed_msgpack, trainer.variables(template)))
+        members = [(os.path.basename(seed_msgpack), "seed")]
+        best = evaluate(soup_sum)
+        print(f"seed {seed_msgpack}: {metric} {best[metric]:.4f}", flush=True)
+        rest = cands
+    else:
+        step, tag, swept = cands[0]
+        soup_sum = fp32(variables_of(step, tag))
+        members = [(step, tag)]
+        best = evaluate(soup_sum)
+        print(f"seed {step}/{tag}: {metric} {best[metric]:.4f} "
+              f"(swept {swept[metric]:.4f})", flush=True)
+        rest = cands[1:]
 
-    for step, tag, swept in cands[1:]:
+    for step, tag, swept in rest:
         trial_sum = jax.tree.map(
             lambda s, v: s + v, soup_sum, fp32(variables_of(step, tag)))
         n = len(members) + 1
