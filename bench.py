@@ -80,11 +80,14 @@ def _marginal_seconds_per_iter(
     rates = [r for r in raw if r > 0]
     if not rates:
         # Every trial was non-positive: the tunnel swallowed the timing.
-        # Publishing 0.0 (or inf fps) would be a bogus headline — fail loud.
-        raise RuntimeError(
+        # Publishing 0.0 (or inf fps) would be a bogus headline — fail loud
+        # (main() converts this into the explicit invalid-JSON verdict).
+        exc = RuntimeError(
             "benchmark invalid: no positive marginal-rate trial survived "
             "(tunnel hiccups in every trial); rerun on an idle chip"
         )
+        exc.raw_trials = raw
+        raise exc
     return min(rates), float(np.median(rates)), raw
 
 
@@ -97,9 +100,11 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
     # Fail FAST on a wedged/degraded tunnel — but RETRY for a window first:
     # the driver runs bench exactly once per round, and rounds 3 and 4 both
     # lost their only capture to transient degradation windows. The probe
-    # re-checks every ~2 min for VBT_TPU_HEALTH_RETRY_S seconds (bench-only;
-    # interactive CLIs stay fail-fast) before emitting the explicit
-    # invalid-JSON verdict. The default window is 600 s, NOT longer: the
+    # re-checks every ~2 min for VBT_TPU_HEALTH_RETRY_S seconds before
+    # emitting the explicit invalid-JSON verdict. Only bench defaults to a
+    # nonzero window; interactive CLIs stay fail-fast unless the user
+    # exports VBT_TPU_HEALTH_RETRY_S (the env var is a global knob,
+    # health.py:require_healthy_tpu). The default window is 600 s, NOT longer: the
     # driver kills a bench attempt at ~900 s (BENCH_r03 rc=124 came from two
     # such silent kills), and an rc=124 with no JSON line is strictly worse
     # than an explicit invalid verdict — the window must leave room for the
@@ -169,16 +174,46 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
         for _ in range(8)
     ]
 
-    # Warmup (compile both programs + populate tunnel caches).
-    _timed_detect(pipeline, batches, 2)
-    _timed_forward(pipeline, batches, 2)
+    metric = "efficientdet_lite0_320_detection_throughput"
+    if int8:
+        metric += "_int8"
+    if turbo:
+        metric += "_turbo"
+    if prefilter != "exact":
+        metric += f"_{prefilter}"
 
-    best_spi, median_spi, detect_trials = _marginal_seconds_per_iter(
-        _timed_detect, pipeline, batches
-    )
-    fwd_best_spi, fwd_median_spi, fwd_trials = _marginal_seconds_per_iter(
-        _timed_forward, pipeline, batches
-    )
+    # Any failure past the health probe (compile/execute error mid-warmup, or
+    # every marginal trial swallowed by a tunnel hiccup) must still end in an
+    # explicit machine-readable verdict: the driver parses exactly one JSON
+    # line, and a traceback with no JSON loses the round's only capture.
+    try:
+        # Warmup (compile both programs + populate tunnel caches).
+        _timed_detect(pipeline, batches, 2)
+        _timed_forward(pipeline, batches, 2)
+
+        best_spi, median_spi, detect_trials = _marginal_seconds_per_iter(
+            _timed_detect, pipeline, batches
+        )
+        fwd_best_spi, fwd_median_spi, fwd_trials = _marginal_seconds_per_iter(
+            _timed_forward, pipeline, batches
+        )
+    except Exception as e:  # noqa: BLE001 — verdict first, traceback second
+        import traceback
+
+        traceback.print_exc()
+        verdict = {
+            "metric": metric,
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "invalid": True,
+            "reason": f"{type(e).__name__}: {e}",
+        }
+        raw_trials = getattr(e, "raw_trials", None)
+        if raw_trials is not None:
+            verdict["raw_trials_s_per_iter"] = [round(r, 6) for r in raw_trials]
+        print(json.dumps(verdict))
+        sys.exit(1)
 
     best_fps = BATCH / best_spi
     median_fps = BATCH / median_spi
@@ -199,13 +234,6 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
         flops_per_batch = 2 * 0.876e9 * BATCH  # lite0 GMACs (reference logs)
     mfu = flops_per_batch / fwd_median_spi / V5E_PEAK_BF16 if on_tpu else None
 
-    metric = "efficientdet_lite0_320_detection_throughput"
-    if int8:
-        metric += "_int8"
-    if turbo:
-        metric += "_turbo"
-    if prefilter != "exact":
-        metric += f"_{prefilter}"
     headline = {
         "metric": metric,
         "value": round(fps, 1),

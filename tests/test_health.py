@@ -149,3 +149,42 @@ def test_no_retry_by_default(monkeypatch):
 def test_report_dataclass():
     rep = HealthReport(ok=True, reason="healthy", forward_ms=6.2)
     assert rep.forward_ms < 60
+
+
+def test_small_retry_window_reports_no_retry(monkeypatch):
+    """A window below the retry cycle performs no retries and SAYS so."""
+    from vbt_tpu.utils import health
+
+    monkeypatch.setenv("VBT_TPU_HEALTH_FAKE", "slow")
+
+    def fake_probe(deadline_s=None, slow_ms=None):
+        return HealthReport(ok=False, reason="TPU degradation window")
+
+    monkeypatch.setattr(health, "probe_tpu", fake_probe)
+    with pytest.raises(TPUUnhealthyError, match="too small for"):
+        health.require_healthy_tpu(retry_window_s=30)
+
+
+def test_host_keyed_cpu_cache_scopes_and_restores(monkeypatch, tmp_path):
+    """CPU compiles from an accelerator-platform process land in the
+    host-keyed subdir; the shared TPU dir is restored afterwards."""
+    import jax
+
+    from vbt_tpu.utils import cache
+
+    orig = jax.config.jax_compilation_cache_dir
+    top = str(tmp_path / "xla")
+    jax.config.update("jax_compilation_cache_dir", top)
+    try:
+        monkeypatch.setattr(cache, "_platform_is_cpu", lambda: False)
+        with cache.host_keyed_cpu_cache():
+            inner = jax.config.jax_compilation_cache_dir
+            assert inner.startswith(top) and "host-" in inner
+        assert jax.config.jax_compilation_cache_dir == top
+        # No-op when the process platform is CPU (dir already host-keyed
+        # by enable_persistent_cache).
+        monkeypatch.setattr(cache, "_platform_is_cpu", lambda: True)
+        with cache.host_keyed_cpu_cache():
+            assert jax.config.jax_compilation_cache_dir == top
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)

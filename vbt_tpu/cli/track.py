@@ -29,6 +29,7 @@ match the reference bit-for-bit (tests/test_tracker_golden_replay.py).
 from __future__ import annotations
 
 import os
+import sys
 
 import click
 import numpy as np
@@ -109,8 +110,19 @@ def run_scan_tracker(dets: np.ndarray, valid: np.ndarray, time_shard: bool = Fal
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
+            print(
+                "WARNING: no CPU backend available (JAX_PLATFORMS excludes "
+                "'cpu'); running the serial tracker scan on the accelerator "
+                "— ~3x slower for a single video (CLAUDE.md, "
+                "tools/data_track_e2e_r5.json)",
+                file=sys.stderr,
+            )
         if cpu is not None:
-            with jax.default_device(cpu):
+            # CPU AOT cache entries are host-specific — keep them out of the
+            # shared (host-agnostic) TPU cache dir.
+            from vbt_tpu.utils.cache import host_keyed_cpu_cache
+
+            with host_keyed_cpu_cache(), jax.default_device(cpu):
                 out = track_video(cfg, dets, valid)
         else:
             out = track_video(cfg, dets, valid)

@@ -7,6 +7,7 @@ the first start in seconds. Called by all vbt CLIs and bench.py.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 DEFAULT_DIR = os.path.expanduser("~/.cache/vbt_tpu_xla")
@@ -41,6 +42,9 @@ def _host_cpu_key() -> str:
 
 
 def _platform_is_cpu() -> bool:
+    """True when this process is pinned to the CPU backend (env var or
+    jax config — tests set the config; see tests/conftest.py). The single
+    shared implementation: utils.health imports this one."""
     env = os.environ.get("JAX_PLATFORMS", "")
     if "cpu" in env.lower():
         return True
@@ -51,6 +55,32 @@ def _platform_is_cpu() -> bool:
         return "cpu" in cfg.lower()
     except Exception:
         return False
+
+
+@contextlib.contextmanager
+def host_keyed_cpu_cache():
+    """Scope compiles to the host-keyed cache subdir for a block that
+    compiles CPU executables from an accelerator-platform process (e.g.
+    track_one's host-pinned tracker scan under axon).
+
+    CPU AOT artifacts are host-feature-specific (see ``_host_cpu_key``),
+    but the top-level dir must stay host-agnostic: it holds the remotely
+    compiled TPU executables that every host can share. No-op when the
+    whole process is already CPU (the dir is host-keyed at enable time)
+    or when no persistent cache is configured."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    if _platform_is_cpu() or not prev or os.path.basename(prev).startswith("host-"):
+        yield
+        return
+    sub = os.path.join(prev, _host_cpu_key())
+    os.makedirs(sub, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", sub)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def enable_persistent_cache(path: str | None = None) -> None:

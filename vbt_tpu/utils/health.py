@@ -39,6 +39,8 @@ import sys
 import time
 from dataclasses import dataclass
 
+from vbt_tpu.utils.cache import _platform_is_cpu  # single shared detector
+
 # Marginal forward latency above this is a degradation window, not a healthy
 # chip (healthy ~6 ms at batch 128; degraded windows measured 60-300 ms+).
 SLOW_MS = 60.0
@@ -107,8 +109,6 @@ class HealthReport:
     forward_ms: float | None = None
 
 
-def _platform_is_cpu() -> bool:
-    return "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
 
 
 def probe_tpu(deadline_s: float | None = None, slow_ms: float = SLOW_MS) -> HealthReport:
@@ -180,6 +180,11 @@ def require_healthy_tpu(
 
     ``retry_window_s`` keeps re-probing a failing tunnel for that many
     seconds before giving up (env override: ``VBT_TPU_HEALTH_RETRY_S``).
+    The loop only retries while the window still has room for a full
+    sleep (``RETRY_SLEEP_S``) plus probe — this deliberately leaves the
+    tail of the window for the caller's own work (bench must fit its
+    measurement inside the driver's kill deadline) — so windows shorter
+    than ~``RETRY_SLEEP_S`` perform no retries; the error says so.
     The axon tunnel's degradation windows are often transient, and for an
     unattended capture (the driver runs bench.py exactly once per round) a
     single-shot probe turns a 10-minute hiccup into a lost round — rounds
@@ -202,15 +207,20 @@ def require_healthy_tpu(
             return rep
         remaining = retry_window_s - (time.monotonic() - t_start)
         if remaining <= RETRY_SLEEP_S:
-            raise TPUUnhealthyError(
-                prefix + rep.reason
-                + (
+            if attempt > 1:
+                tail = (
                     f" (gave up after {attempt} probe attempts over "
                     f"{time.monotonic() - t_start:.0f}s)"
-                    if attempt > 1
-                    else ""
                 )
-            )
+            elif retry_window_s > 0:
+                tail = (
+                    f" (retry window {retry_window_s:.0f}s is too small for "
+                    f"a {RETRY_SLEEP_S:.0f}s retry cycle — no retry was "
+                    "attempted)"
+                )
+            else:
+                tail = ""
+            raise TPUUnhealthyError(prefix + rep.reason + tail)
         print(
             f"{prefix}health probe attempt {attempt} failed "
             f"({rep.reason.splitlines()[0][:120]}); retrying for another "
