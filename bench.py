@@ -278,11 +278,100 @@ def main(int8: bool = False, turbo: bool = False, prefilter: str = "exact"):
             pass  # read-only checkout must not kill the capture
 
 
+def _metric_name(argv) -> str:
+    metric = "efficientdet_lite0_320_detection_throughput"
+    if "--int8" in argv:
+        metric += "_int8"
+    if "--turbo" in argv:
+        metric += "_turbo"
+    if "--approx_prefilter" in argv:
+        metric += "_approx"
+    return metric
+
+
+def _outer(argv) -> int:
+    """Probe, then run the measurement in a DEADLINED SUBPROCESS.
+
+    Round-5 live finding: a degradation window can wedge the fused detect
+    program while the health probe's forward-only program still passes —
+    the parent then blocks forever inside a device readback (no Python
+    signal can interrupt it) and the driver's silent ~900 s kill leaves
+    rc=124 with no JSON, losing the round's only capture. Running the
+    measurement in a child with a wall deadline turns that into an
+    explicit invalid verdict. Budget: VBT_TPU_BENCH_DEADLINE_S (default
+    850 s ≈ driver kill minus margin) minus whatever the probe consumed.
+    """
+    import subprocess
+    import sys
+
+    from vbt_tpu.utils.health import TPUUnhealthyError, require_healthy_tpu
+
+    def invalid(reason: str) -> int:
+        print(
+            json.dumps(
+                {
+                    "metric": _metric_name(argv),
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": None,
+                    "invalid": True,
+                    "reason": reason,
+                }
+            )
+        )
+        return 1
+
+    t_start = time.monotonic()
+    try:
+        require_healthy_tpu(
+            context="bench",
+            retry_window_s=float(os.environ.get("VBT_TPU_HEALTH_RETRY_S", "600")),
+        )
+    except TPUUnhealthyError as e:
+        return invalid(str(e))
+    budget = max(
+        30.0,
+        float(os.environ.get("VBT_TPU_BENCH_DEADLINE_S", "850"))
+        - (time.monotonic() - t_start),
+    )
+    env = dict(os.environ)
+    env["VBT_TPU_BENCH_INNER"] = "1"
+    env["VBT_TPU_HEALTH_PROBE"] = "0"  # already probed above
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *argv],
+            env=env, timeout=budget, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return invalid(
+            f"measurement wedged: health probe passed but the measurement "
+            f"subprocess exceeded its {budget:.0f}s budget — a degradation "
+            "window hit the detect program mid-measurement (seen live "
+            "round 5: forward probe 12 ms while detect wedged >400 s)"
+        )
+    sys.stderr.write(proc.stderr or "")
+    out = (proc.stdout or "").strip()
+    if out:
+        print(out)  # the child's one JSON line (headline or invalid)
+        return proc.returncode
+    return invalid(f"bench subprocess died (rc={proc.returncode}) with no JSON line")
+
+
 if __name__ == "__main__":
     import sys
 
-    main(
-        int8="--int8" in sys.argv,
-        turbo="--turbo" in sys.argv,
-        prefilter="approx" if "--approx_prefilter" in sys.argv else "exact",
-    )
+    argv = sys.argv[1:]
+    if (
+        os.environ.get("VBT_TPU_BENCH_INNER") == "1"
+        or os.environ.get("VBT_TPU_HEALTH_PROBE") == "0"
+    ):
+        # Direct (inner) run: measure in THIS process. VBT_TPU_HEALTH_PROBE=0
+        # also lands here so a user explicitly skipping the probe keeps the
+        # old single-process behavior.
+        main(
+            int8="--int8" in argv,
+            turbo="--turbo" in argv,
+            prefilter="approx" if "--approx_prefilter" in argv else "exact",
+        )
+    else:
+        sys.exit(_outer(argv))
